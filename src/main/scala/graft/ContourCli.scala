@@ -1,0 +1,50 @@
+package graft
+
+import graft.core._
+import graft.core.MarchingSquares.GridView
+import java.nio.file.{Files, Paths}
+
+/** Minimal CLI surface over the core kernels (no Spark): decode an .hgt
+  * file, optionally truncate to an area, chop, trace contours, and print
+  * per-tile stats. Mirrors the reference CLI's local-file path
+  * (/root/reference/pyhgtmap/main.py:19-61) for smoke/verification use.
+  *
+  * Usage: ContourCli <file.hgt> [--step N] [--area minLon:minLat:maxLon:maxLat]
+  *        [--max-nodes-per-tile N] [--max-nodes-per-way N] [--rdp EPS]
+  */
+object ContourCli {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println("usage: ContourCli <file.hgt> [--step N] ..."); sys.exit(2) }
+    val file = args(0)
+    var cfg = JobConfig(maxNodesPerTile = 1000000L, maxNodesPerWay = 2000, rdpEpsilon = None)
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "--step" => cfg = cfg.copy(contourStepSize = args(i + 1).toInt); i += 2
+        case "--area" => cfg = cfg.copy(area = Some(args(i + 1))); i += 2
+        case "--max-nodes-per-tile" => cfg = cfg.copy(maxNodesPerTile = args(i + 1).toLong); i += 2
+        case "--max-nodes-per-way" => cfg = cfg.copy(maxNodesPerWay = args(i + 1).toInt); i += 2
+        case "--rdp" => cfg = cfg.copy(rdpEpsilon = Some(args(i + 1).toDouble)); i += 2
+        case other => System.err.println(s"unknown option: $other"); sys.exit(2)
+      }
+    }
+    val bytes = Files.readAllBytes(Paths.get(file))
+    val grid = Hgt.decode(bytes, cfg.voidMax)
+    val bbox = Hgt.parseHgtFilename(file)
+    val lonInc = 1.0 / (grid.cols - 1)
+    val latInc = 1.0 / (grid.rows - 1)
+    println(s"${file}: ${grid.rows} x ${grid.cols} points, bbox: (${bbox.minLon}, ${bbox.minLat}, ${bbox.maxLon}, ${bbox.maxLat})")
+    val start = Chop.truncate(cfg.area, bbox, grid.rows, grid.cols, lonInc, latInc)
+    val slices = Chop.chop(grid, start, latInc, cfg.contourStepSize, cfg.maxNodesPerTile)
+    var totNodes = 0L
+    var totWays = 0L
+    slices.zipWithIndex.foreach { case (s, idx) =>
+      val gv = new GridView(grid.values, grid.mask, s.rowOff * grid.cols + s.colOff, grid.cols, s.rows, s.cols)
+      val tc = ContourGen.tileContours(gv, s.bbox, lonInc, latInc, cfg)
+      totNodes += tc.nbNodes
+      totWays += tc.nbWays
+      println(f"tile $idx: ${s.rows} x ${s.cols} points, bbox: (${s.bbox.minLon}%.2f, ${s.bbox.minLat}%.2f, ${s.bbox.maxLon}%.2f, ${s.bbox.maxLat}%.2f), levels ${tc.levels.headOption.getOrElse(0)}..${tc.levels.lastOption.getOrElse(0)}, nodes ${tc.nbNodes}, ways ${tc.nbWays}")
+    }
+    println(s"total: ${slices.size} tiles, $totNodes nodes, $totWays ways")
+  }
+}
