@@ -1,0 +1,531 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{GeoCols, PipContains}
+
+/** The driver-gate query registry: every entry pairs a Spark implementation
+  * with (where SQL-expressible) a DuckDB oracle over the same parquet
+  * tables. Column names and value rounding are part of the contract — keep
+  * Spark aliases and SQL aliases in lockstep.
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      impl: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------- geo ---
+
+  /** Convex CCW pentagon inside the doc-coordinate tile (lon 6..7, lat 43..44). */
+  val PipPoly: Array[Double] = Array(
+    6.15, 43.05, 6.85, 43.15, 6.95, 43.75, 6.45, 43.95, 6.05, 43.55)
+
+  private def pipPolySql(lon: String, lat: String): String = {
+    // inside a convex CCW polygon: cross((p_i -> p_i+1), (p_i -> pt)) > 0 for all i
+    val pts = PipPoly.grouped(2).toArray
+    val conds = pts.indices.map { i =>
+      val Array(x1, y1) = pts(i)
+      val Array(x2, y2) = pts((i + 1) % pts.length)
+      s"(($x2 - $x1) * ($lat - $y1) - ($y2 - $y1) * ($lon - $x1)) > 0"
+    }
+    conds.mkString("(", " AND ", ")")
+  }
+
+  private def withDocCoords(df: DataFrame): DataFrame =
+    df.withColumn("lon", GeoCols.docLon(col("doc_id")))
+      .withColumn("lat", GeoCols.docLat(col("doc_id")))
+
+  private val docCoordsSql =
+    s"SELECT *, ${GeoCols.docLonSql} AS lon, ${GeoCols.docLatSql} AS lat FROM documents"
+
+  private val qGeoCell = Q(
+    "q10_geo_cell_counts",
+    (s, dir) => {
+      val docs = withDocCoords(t(s, dir, "documents"))
+      docs
+        .withColumn("cell", GeoCols.cellId(col("lon"), col("lat"), 6))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy("cell")
+    },
+    Some(s"""SELECT ${GeoCols.cellIdSql(GeoCols.docLonSql, GeoCols.docLatSql, 6)} AS cell,
+            | count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+            | FROM documents GROUP BY 1 ORDER BY cell""".stripMargin))
+
+  private val qGeoPip = Q(
+    "q11_geo_pip",
+    (s, dir) => {
+      PipContains.register(s, "pip_n43e006", PipPoly)
+      withDocCoords(t(s, dir, "documents"))
+        .filter(call_function("pip_n43e006", col("lon"), col("lat")))
+        .select(col("doc_id"), round(col("lon"), 6).as("lon"), round(col("lat"), 6).as("lat"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, round(lon, 6) AS lon, round(lat, 6) AS lat
+            | FROM ($docCoordsSql)
+            | WHERE ${pipPolySql("lon", "lat")} ORDER BY doc_id""".stripMargin))
+
+  /** kNN query points (inside the doc tile). */
+  val KnnQueries: Seq[(Int, Double, Double)] = Seq(
+    (0, 6.1, 43.2), (1, 6.5, 43.5), (2, 6.9, 43.8), (3, 6.3, 43.7), (4, 6.7, 43.1))
+
+  private val qGeoKnn = Q(
+    "q12_geo_knn",
+    (s, dir) => {
+      val docs = withDocCoords(t(s, dir, "documents"))
+      val perQuery = KnnQueries.map { case (qid, qLon, qLat) =>
+        docs.select(
+          lit(qid).as("q_id"),
+          col("doc_id"),
+          GeoCols.sqDist(col("lon"), col("lat"), qLon, qLat).as("d2"))
+      }.reduce(_ unionAll _)
+      val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("doc_id").asc)
+      perQuery
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("doc_id"), round(col("d2"), 8).as("d2"))
+        .orderBy("q_id", "rank")
+    },
+    Some {
+      val unions = KnnQueries.map { case (qid, qLon, qLat) =>
+        s"""SELECT $qid AS q_id, doc_id,
+           | ${GeoCols.sqDistSql("lon", "lat", qLon, qLat)} AS d2 FROM ($docCoordsSql)""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""SELECT q_id, rank, doc_id, round(d2, 8) AS d2 FROM (
+         |  SELECT q_id, doc_id, d2,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, doc_id ASC) AS rank
+         |  FROM ($unions)) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    })
+
+  private val qGeoTiles = Q(
+    "q13_geo_tile_assign",
+    (s, dir) => {
+      // the golden N43E006 chop boundaries (tests/hgt/test_file.py:74-95)
+      val docs = withDocCoords(t(s, dir, "documents"))
+      docs
+        .withColumn(
+          "tile",
+          when(col("lat") < 43.5, lit(0))
+            .when(col("lat") < 43.75, lit(1))
+            .when(col("lat") < 43.875, lit(2))
+            .otherwise(lit(3)))
+        .groupBy("tile")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(min("lat"), 6).as("min_lat"),
+          round(max("lat"), 6).as("max_lat"))
+        .orderBy("tile")
+    },
+    Some(s"""SELECT CASE WHEN lat < 43.5 THEN 0 WHEN lat < 43.75 THEN 1
+            | WHEN lat < 43.875 THEN 2 ELSE 3 END AS tile,
+            | count(*) AS n_docs, round(min(lat), 6) AS min_lat, round(max(lat), 6) AS max_lat
+            | FROM ($docCoordsSql) GROUP BY 1 ORDER BY tile""".stripMargin))
+
+  private val qGeoBands = Q(
+    "q15_geo_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val docs = withDocCoords(t(s, dir, "documents"))
+        .withColumn("elev", col("doc_id") * lit(7919L) % lit(2000L))
+      val bands = Seq((0L, 0L, 499L), (1L, 500L, 999L), (2L, 1000L, 1499L), (3L, 1500L, 1999L))
+        .toDF("band", "lo", "hi")
+      docs
+        .join(broadcast(bands), col("elev") >= col("lo") && col("elev") <= col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"), round(avg("elev"), 4).as("avg_elev"))
+        .orderBy("band")
+    },
+    Some("""SELECT band, count(*) AS n_docs, round(avg(elev), 4) AS avg_elev FROM
+           | (SELECT doc_id * 7919 % 2000 AS elev FROM documents) d
+           | JOIN (VALUES (0, 0, 499), (1, 500, 999), (2, 1000, 1499), (3, 1500, 1999))
+           |  AS b(band, lo, hi)
+           | ON d.elev >= b.lo AND d.elev <= b.hi
+           | GROUP BY band ORDER BY band""".stripMargin))
+
+  // --------------------------------------------------------------- text ---
+
+  private val qDedupExact = Q(
+    "q20_dedup_exact",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = Window.partitionBy("text")
+      docs
+        .withColumn("canonical_id", min("doc_id").over(w))
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .select("doc_id", "canonical_id", "n_copies")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+           | count(*) OVER (PARTITION BY text) AS n_copies
+           | FROM documents ORDER BY doc_id""".stripMargin))
+
+  // 4-gram polynomial hash shared by minhash/simhash; identical arithmetic
+  // on both engines (ascii + substr are 1-based in Spark and DuckDB).
+  private val shingleSql =
+    """(ascii(substr(text, i, 1)) * 29791 + ascii(substr(text, i+1, 1)) * 961 +
+      | ascii(substr(text, i+2, 1)) * 31 + ascii(substr(text, i+3, 1)))""".stripMargin
+
+  private val MinhashParams = Seq((131L, 7L), (137L, 11L), (139L, 13L), (149L, 17L))
+  private val P = 1000003L
+
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(length(col("text")) >= 4)
+    docs
+      .select(col("doc_id"), col("text"), explode(sequence(lit(1), length(col("text")) - 3)).as("i"))
+      .withColumn(
+        "h",
+        (ascii(expr("substring(text, i, 1)")) * lit(29791L) +
+          ascii(expr("substring(text, i+1, 1)")) * lit(961L) +
+          ascii(expr("substring(text, i+2, 1)")) * lit(31L) +
+          ascii(expr("substring(text, i+3, 1)")).cast("long")))
+      .select("doc_id", "h")
+  }
+
+  private val shinglesSql =
+    s"""SELECT doc_id, $shingleSql AS h
+       | FROM documents, LATERAL unnest(generate_series(1, length(text) - 3)) AS t(i)
+       | WHERE length(text) >= 4""".stripMargin
+
+  private val qMinhash = Q(
+    "q21_minhash",
+    (s, dir) => {
+      val sh = shingles(s, dir)
+      val aggs = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
+        min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"mh$j")
+      }
+      sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+    },
+    Some {
+      val aggs = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
+        s"min((h * $a + $b) % $P) AS mh$j"
+      }.mkString(", ")
+      s"SELECT doc_id, $aggs FROM ($shinglesSql) GROUP BY doc_id ORDER BY doc_id"
+    })
+
+  /** 8-char shingles for near-dup candidates: the longer shingle
+    * de-concentrates minhash minima (985 distinct 4-grams vs 13005 8-grams
+    * on the synthetic corpus), so the LSH bucket join stays near-linear. */
+  private def shingles8(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(length(col("text")) >= 8)
+    val powers = Seq(27512614111L, 887503681L, 28629151L, 923521L, 29791L, 961L, 31L, 1L)
+    val h = powers.zipWithIndex.map { case (p, k) =>
+      ascii(expr(s"substring(text, i+$k, 1)")).cast("long") * lit(p)
+    }.reduce(_ + _)
+    docs
+      .select(col("doc_id"), col("text"), explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+      .withColumn("h", h)
+      .select("doc_id", "h")
+  }
+
+  private val shingles8Sql = {
+    val powers = Seq(27512614111L, 887503681L, 28629151L, 923521L, 29791L, 961L, 31L, 1L)
+    val h = powers.zipWithIndex
+      .map { case (p, k) => s"CAST(ascii(substr(text, i+$k, 1)) AS BIGINT) * $p" }
+      .mkString(" + ")
+    s"""SELECT doc_id, ($h) AS h
+       | FROM documents, LATERAL unnest(generate_series(1, length(text) - 7)) AS t(i)
+       | WHERE length(text) >= 8""".stripMargin
+  }
+
+  private val qNearDup = Q(
+    "q22_near_dup_pairs",
+    (s, dir) => {
+      val sh = shingles8(s, dir)
+      val aggs = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
+        min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"mh$j")
+      }
+      // one band of 4 rows: candidates must agree on the full signature
+      val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val keys = Seq("mh0", "mh1", "mh2", "mh3")
+      val l = sig.toDF("doc_a" +: keys: _*)
+      val r = sig.toDF("doc_b" +: keys: _*)
+      l.join(r, keys)
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val aggs = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
+        s"min((h * $a + $b) % $P) AS mh$j"
+      }.mkString(", ")
+      s"""WITH sig AS (SELECT doc_id, $aggs FROM ($shingles8Sql) GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM sig a JOIN sig b
+         | ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.mh3 = b.mh3
+         | AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    })
+
+  private val qSimhash = Q(
+    "q23_simhash",
+    (s, dir) => {
+      val sh = shingles(s, dir)
+      val bits = sh
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(7))).as("b"))
+        .withColumn("w", expr("CASE WHEN (h div shiftleft(1, b)) % 2 = 1 THEN 1 ELSE -1 END"))
+      bits
+        .groupBy("doc_id", "b")
+        .agg(sum("w").as("sw"))
+        .withColumn("bitval", when(col("sw") > 0, expr("CAST(shiftleft(1, b) AS BIGINT)")).otherwise(lit(0L)))
+        .groupBy("doc_id")
+        .agg(sum("bitval").as("simhash"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, sum(bitval) AS simhash FROM (
+            | SELECT doc_id, b, CASE WHEN sum(w) > 0 THEN (1::BIGINT << b) ELSE 0 END AS bitval
+            | FROM (SELECT doc_id, h, b,
+            |        CASE WHEN (h // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END AS w
+            |       FROM ($shinglesSql), LATERAL unnest(generate_series(0, 7)) AS t2(b))
+            | GROUP BY doc_id, b)
+            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  private val qTextStats = Q(
+    "q24_text_stats",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+        .withColumn(
+          "n_the",
+          ((length(col("text")) - length(regexp_replace(col("text"), lit(" the "), lit("")))) / lit(5)).cast("long"))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("n_tokens"),
+          col("n_the"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 6).as("chars_per_token"),
+          when(col("n_the") > 0, lit("en")).otherwise(lit("other")).as("lang_guess"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang,
+           | length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           | (length(text) - length(replace(text, ' the ', ''))) // 5 AS n_the,
+           | round(CAST(n_chars AS DOUBLE) / length(regexp_split_to_array(trim(text), '\s+')), 6) AS chars_per_token,
+           | CASE WHEN (length(text) - length(replace(text, ' the ', ''))) // 5 > 0
+           |  THEN 'en' ELSE 'other' END AS lang_guess
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private val qNgrams = Q(
+    "q25_ngram_top",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(length(col("text")) >= 3)
+      val grams = docs
+        .select(col("lang"), explode(sequence(lit(1), length(col("text")) - 2)).as("i"), col("text"))
+        .select(col("lang"), expr("substring(text, i, 3)").as("gram"))
+      val counts = grams.groupBy("lang", "gram").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("gram").asc)
+      counts
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy("lang", "rank")
+    },
+    Some("""SELECT lang, gram, n, rank FROM (
+           | SELECT lang, gram, n,
+           |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram ASC) AS rank
+           | FROM (SELECT lang, substr(text, i, 3) AS gram, count(*) AS n
+           |       FROM documents, LATERAL unnest(generate_series(1, length(text) - 2)) AS t(i)
+           |       WHERE length(text) >= 3 GROUP BY 1, 2))
+           |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin))
+
+  // --------------------------------------------------------------- embeddings ---
+
+  private def embDims(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), explode(sequence(lit(1), size(col("embedding")))).as("i"), col("embedding"))
+      .withColumn("x", element_at(col("embedding"), col("i")).cast("double"))
+      .drop("embedding")
+
+  private val embDimsSql =
+    """SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+      | FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)""".stripMargin
+
+  private val qEmbStats = Q(
+    "q30_emb_stats",
+    (s, dir) =>
+      embDims(s, dir)
+        .groupBy("vec_id", "label")
+        .agg(
+          count(lit(1)).as("dims"),
+          round(sqrt(sum(col("x") * col("x"))), 6).as("l2_norm"),
+          round(avg(col("x")), 6).as("mean"))
+        .orderBy("vec_id"),
+    Some(s"""SELECT vec_id, label, count(*) AS dims,
+            | round(sqrt(sum(x * x)), 6) AS l2_norm, round(avg(x), 6) AS mean
+            | FROM ($embDimsSql) GROUP BY vec_id, label ORDER BY vec_id""".stripMargin))
+
+  private val qAnn = Q(
+    "q31_ann_cosine_topk",
+    (s, dir) => {
+      val dims = embDims(s, dir).select(col("vec_id"), col("i"), col("x"))
+      val queries = dims.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("i"), col("x").as("qx"))
+      val joined = queries.join(dims.filter(col("vec_id") >= 3), Seq("i"))
+      val sims = joined
+        .groupBy("q_id", "vec_id")
+        .agg(
+          (sum(col("qx") * col("x")) /
+            (sqrt(sum(col("qx") * col("qx"))) * sqrt(sum(col("x") * col("x"))))).as("cos"))
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("r_cos"))
+      val w = Window.partitionBy("q_id").orderBy(col("r_cos").desc, col("vec_id").asc)
+      sims
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""WITH dims AS (SELECT vec_id, i, x FROM ($embDimsSql)),
+            | sims AS (
+            |  SELECT q.vec_id AS q_id, d.vec_id AS vec_id,
+            |   round(sum(q.x * d.x) / (sqrt(sum(q.x * q.x)) * sqrt(sum(d.x * d.x))), 6) AS r_cos
+            |  FROM dims q JOIN dims d ON q.i = d.i
+            |  WHERE q.vec_id < 3 AND d.vec_id >= 3
+            |  GROUP BY 1, 2)
+            |SELECT q_id, vec_id, r_cos, rank FROM (
+            | SELECT q_id, vec_id, r_cos,
+            |  row_number() OVER (PARTITION BY q_id ORDER BY r_cos DESC, vec_id ASC) AS rank
+            | FROM sims) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+
+  private val qCentroids = Q(
+    "q32_emb_centroids",
+    (s, dir) =>
+      embDims(s, dir)
+        .groupBy("label", "i")
+        .agg(avg("x").as("cx"), count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(
+          max("n").as("n_vectors"),
+          round(sqrt(sum(col("cx") * col("cx"))), 4).as("centroid_norm"))
+        .orderBy("label"),
+    Some(s"""SELECT label, max(n) AS n_vectors, round(sqrt(sum(cx * cx)), 4) AS centroid_norm
+            | FROM (SELECT label, i, avg(x) AS cx, count(*) AS n
+            |       FROM ($embDimsSql) GROUP BY label, i)
+            | GROUP BY label ORDER BY label""".stripMargin))
+
+  // --------------------------------------------------------------- relational ---
+
+  private val qPricing = Q(
+    "q01_pricing_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+           | round(sum(l_quantity), 4) AS sum_qty,
+           | round(sum(l_extendedprice), 4) AS sum_base_price,
+           | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           | round(avg(l_quantity), 6) AS avg_qty,
+           | count(*) AS count_order
+           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  private val qNationRevenue = Q(
+    "q02_nation_revenue",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      orders
+        .join(cust, orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 4).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    },
+    Some("""SELECT n_name, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin))
+
+  private val qTopOrders = Q(
+    "q03_top_order_per_customer",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 4).as("top_price"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS top_price FROM (
+           | SELECT o_custkey, o_orderkey, o_totalprice,
+           |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           | FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin))
+
+  private val qRollup = Q(
+    "q04_priority_rollup",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .rollup("yr", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+        .select(
+          coalesce(col("yr"), lit(-1)).as("yr"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"),
+          col("total"))
+        .orderBy("yr", "priority"),
+    Some("""SELECT coalesce(yr, -1) AS yr, coalesce(o_orderpriority, 'ALL') AS priority,
+           | count(*) AS n, round(sum(o_totalprice), 4) AS total
+           |FROM (SELECT year(o_orderdate) AS yr, o_orderpriority, o_totalprice FROM orders)
+           |GROUP BY ROLLUP (yr, o_orderpriority) ORDER BY 1, 2""".stripMargin))
+
+  private val qSessions = Q(
+    "q05_event_sessions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn(
+          "new_session",
+          when(
+            col("prev_ts").isNull ||
+              (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800,
+            1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+          sum("new_session").as("n_sessions"),
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("total_value"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events,
+           | round(sum(value), 4) AS total_value
+           |FROM (SELECT user_id, value,
+           |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           |   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) > 1800
+           |  THEN 1 ELSE 0 END AS new_session
+           | FROM events)
+           |GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  private val qEventHours = Q(
+    "q06_event_type_hours",
+    (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("hour_epoch", (unix_timestamp(col("ts")) / 3600L).cast("long") * 3600L)
+        .groupBy("event_type", "hour_epoch")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .filter(col("n") >= 3)
+        .orderBy("event_type", "hour_epoch"),
+    Some("""SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_epoch,
+           | count(*) AS n, round(sum(value), 4) AS sum_value
+           |FROM events GROUP BY 1, 2 HAVING count(*) >= 3
+           |ORDER BY event_type, hour_epoch""".stripMargin))
+
+  val all: Seq[Q] = Seq(
+    qPricing, qNationRevenue, qTopOrders, qRollup, qSessions, qEventHours,
+    qGeoCell, qGeoPip, qGeoKnn, qGeoTiles, qGeoBands,
+    qDedupExact, qMinhash, qNearDup, qSimhash, qTextStats, qNgrams,
+    qEmbStats, qAnn, qCentroids)
+}
