@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.core.JobConfig
+import graft.engine.RasterPipeline
+
+/** Spark-pipeline CLI: .hgt files -> per-tile OSM XML, the reference's
+  * primary end-to-end path (/root/reference/pyhgtmap/main.py:19-61) on the
+  * distributed engine.
+  *
+  * Usage: PipelineCli <out-dir> <file.hgt>... [--step N] [--area A]
+  *        [--max-nodes-per-tile N] [--max-nodes-per-way N] [--rdp EPS]
+  *        [--cores N]
+  */
+object PipelineCli {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: PipelineCli <out-dir> <file.hgt>... [options]"); sys.exit(2)
+    }
+    val outDir = args(0)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cfg = JobConfig(rdpEpsilon = None)
+    var cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "--step" => cfg = cfg.copy(contourStepSize = args(i + 1).toInt); i += 2
+        case "--area" => cfg = cfg.copy(area = Some(args(i + 1))); i += 2
+        case "--max-nodes-per-tile" => cfg = cfg.copy(maxNodesPerTile = args(i + 1).toLong); i += 2
+        case "--max-nodes-per-way" => cfg = cfg.copy(maxNodesPerWay = args(i + 1).toInt); i += 2
+        case "--rdp" => cfg = cfg.copy(rdpEpsilon = Some(args(i + 1).toDouble)); i += 2
+        case "--cores" => cores = args(i + 1); i += 2
+        case f if !f.startsWith("--") => files += f; i += 1
+        case other => System.err.println(s"unknown option: $other"); sys.exit(2)
+      }
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val written = RasterPipeline.run(spark, files.toSeq, outDir, cfg)
+    val secs = (System.nanoTime() - t0) / 1e9
+    written.foreach(println)
+    println(f"wrote ${written.size} files in $secs%.1f s")
+    spark.stop()
+  }
+}

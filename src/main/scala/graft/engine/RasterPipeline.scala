@@ -1,0 +1,197 @@
+package graft.engine
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.core.MarchingSquares.{GridView, Scratch}
+import graft.sinks.{OsmXmlWriter, OsmXml, PreparedWay}
+
+/** The distributed raster -> contour pipeline, re-expressing the reference's
+  * fork-per-tile processor (/root/reference/pyhgtmap/hgt/processor.py) as
+  * Spark stages:
+  *
+  *   binaryFile scan -> decode+chop (flatMap, executor-side recursion)
+  *     -> Dataset[DemTileRow] (the tile IS the shuffle unit; upper chops
+  *        keep one overlap row, the reference's stitching contract)
+  *   -> repartitionByRange(key, tileIdx) -> trace kernel (mapPartitions)
+  *     -> Dataset[ContourRow]
+  *   -> per-tile counts -> driver prefix-sum -> deterministic node/way ids
+  *     (reference reserves ranges via shared counters, processor.py:98-140;
+  *     we pin the stronger sorted-tile order, SURVEY.md §4.3)
+  *   -> per-tile OSM XML files (nodes first, ways buffered to done()).
+  *
+  * At cluster scale: files and tiles are independent units; the only driver
+  * synchronization is the tiny per-tile count collect for the prefix sum.
+  */
+object RasterPipeline {
+
+  final case class DemTileRow(
+      key: String,
+      tileIdx: Int,
+      minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
+      rows: Int, cols: Int,
+      lonInc: Double, latInc: Double,
+      values: Array[Float],
+      mask: Array[Boolean])
+
+  final case class ContourRow(
+      key: String,
+      tileIdx: Int,
+      minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
+      elevation: Int,
+      pathIdx: Int,
+      closed: Boolean,
+      nbNodes: Int,
+      coords: Array[Double])
+
+  final case class TileOffsets(nodeStart: Long, wayStart: Long)
+
+  /** Scan + decode + chop: one output row per tile. */
+  def tiles(spark: SparkSession, paths: Seq[String], cfg: JobConfig): Dataset[DemTileRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(paths: _*)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val key = path.split('/').last.replaceAll("\\.hgt$", "")
+        val grid = Hgt.decode(bytes, cfg.voidMax)
+        val bbox = Hgt.parseHgtFilename(path)
+        val lonInc = 1.0 / (grid.cols - 1)
+        val latInc = 1.0 / (grid.rows - 1)
+        val start = Chop.truncate(cfg.area, bbox, grid.rows, grid.cols, lonInc, latInc)
+        val slices = Chop.chop(grid, start, latInc, cfg.contourStepSize, cfg.maxNodesPerTile)
+        slices.zipWithIndex.map { case (s, idx) =>
+          // copy the slice so each tile row is self-contained
+          val vals = new Array[Float](s.rows * s.cols)
+          val msk = if (grid.mask == null) null else new Array[Boolean](s.rows * s.cols)
+          var r = 0
+          while (r < s.rows) {
+            System.arraycopy(grid.values, (s.rowOff + r) * grid.cols + s.colOff, vals, r * s.cols, s.cols)
+            if (msk != null)
+              System.arraycopy(grid.mask, (s.rowOff + r) * grid.cols + s.colOff, msk, r * s.cols, s.cols)
+            r += 1
+          }
+          DemTileRow(key, idx, s.bbox.minLon, s.bbox.minLat, s.bbox.maxLon, s.bbox.maxLat,
+            s.rows, s.cols, lonInc, latInc, vals, msk)
+        }
+      }
+  }
+
+  /** Trace contours per tile; explicit range-partitioned shuffle on the
+    * tile key so each tile is processed exactly once, co-located. */
+  def contours(tilesDs: Dataset[DemTileRow], cfg: JobConfig, partitions: Int = 0): Dataset[ContourRow] = {
+    val spark = tilesDs.sparkSession
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    tilesDs
+      .repartitionByRange(parts, col("key"), col("tileIdx"))
+      .mapPartitions { it =>
+        val scratch = new Scratch
+        it.flatMap { tr =>
+          val gv = new GridView(tr.values, tr.mask, 0, tr.cols, tr.rows, tr.cols)
+          val bbox = BBox(tr.minLon, tr.minLat, tr.maxLon, tr.maxLat)
+          val tc = ContourGen.tileContours(gv, bbox, tr.lonInc, tr.latInc, cfg, scratch)
+          tc.contours.iterator.flatMap { lc =>
+            lc.paths.iterator.zipWithIndex.map { case (p, i) =>
+              val n = p.length / 2
+              val closed = n >= 2 && p(0) == p(2 * (n - 1)) && p(1) == p(2 * (n - 1) + 1)
+              ContourRow(tr.key, tr.tileIdx, tr.minLon, tr.minLat, tr.maxLon, tr.maxLat,
+                lc.elevation, i, closed, if (closed) n - 1 else n, p)
+            }
+          }
+        }
+      }
+  }
+
+  /** Deterministic global id offsets: per-tile counts -> driver prefix sum
+    * in (key, tileIdx) order. The reference only guarantees non-overlap
+    * (tests/hgt/test_processor.py:105-130); this is strictly stronger. */
+  def idOffsets(contoursDs: Dataset[ContourRow], cfg: JobConfig): Map[(String, Int), TileOffsets] = {
+    val counts = contoursDs
+      .groupBy("key", "tileIdx")
+      .agg(sum("nbNodes").as("nodes"), count(lit(1)).as("ways"))
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .sortBy(_._1)
+    var nodeId = cfg.startNodeId
+    var wayId = cfg.startWayId
+    counts.map { case (k, (nodes, ways)) =>
+      val off = TileOffsets(nodeId, wayId)
+      nodeId += nodes
+      wayId += ways
+      k -> off
+    }.toMap
+  }
+
+  /** Write one OSM XML file per tile under outDir. Returns files written. */
+  def writeOsmXml(
+      contoursDs: Dataset[ContourRow],
+      offsets: Map[(String, Int), TileOffsets],
+      outDir: String,
+      cfg: JobConfig,
+      singleFileName: Option[String] = None): Seq[String] = {
+    val spark = contoursDs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(offsets)
+    val major = cfg.lineCatsMajor
+    val medium = cfg.lineCatsMedium
+    val single = singleFileName
+    val files = contoursDs
+      .repartition(col("key"), col("tileIdx"))
+      .sortWithinPartitions("key", "tileIdx", "elevation", "pathIdx")
+      .mapPartitions { it =>
+        val classifier: Long => String = e => Levels.elevClassifier(major, medium)(e.toInt)
+        var curKey: (String, Int) = null
+        var writer: OsmXmlWriter = null
+        var nodeId = 0L
+        var ways = scala.collection.mutable.ArrayBuffer.empty[PreparedWay]
+        var wayStart = 0L
+        var fileName: String = null
+        val written = scala.collection.mutable.ArrayBuffer.empty[String]
+        def close(): Unit = if (writer != null) {
+          writer.writeWays(ways.toSeq, wayStart)
+          writer.done(classifier)
+          written += fileName
+          writer = null
+          ways = scala.collection.mutable.ArrayBuffer.empty[PreparedWay]
+        }
+        val out = it.flatMap { row =>
+          val k = (row.key, row.tileIdx)
+          if (k != curKey) {
+            close()
+            curKey = k
+            val off = bc.value(k)
+            nodeId = off.nodeStart
+            wayStart = off.wayStart
+            val name = single.getOrElse(
+              OsmXml.tileFileName(row.minLon, row.minLat, row.maxLon, row.maxLat, suffix = s"_${row.key}"))
+            fileName = s"$outDir/$name"
+            writer = new OsmXmlWriter(
+              new java.io.BufferedOutputStream(new java.io.FileOutputStream(fileName), 1 << 20),
+              OsmXml.boundsTag(row.minLon, row.minLat, row.maxLon, row.maxLat))
+          }
+          val (next, way) = writer.writePath(row.coords, nodeId, row.elevation.toLong)
+          nodeId = next
+          ways += way
+          Iterator.empty: Iterator[String]
+        }
+        // exhaust, then close trailing writer
+        val drained = out.toArray
+        close()
+        (drained ++ written).iterator
+      }
+      .collect()
+    files.toSeq.sorted
+  }
+
+  /** Convenience end-to-end run. */
+  def run(spark: SparkSession, paths: Seq[String], outDir: String, cfg: JobConfig): Seq[String] = {
+    new java.io.File(outDir).mkdirs()
+    val ts = tiles(spark, paths, cfg)
+    val cs = contours(ts, cfg).persist()
+    try {
+      val offs = idOffsets(cs, cfg)
+      writeOsmXml(cs, offs, outDir, cfg)
+    } finally cs.unpersist()
+  }
+}
