@@ -43,10 +43,11 @@ object PipelineCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val written = RasterPipeline.run(spark, files.toSeq, outDir, cfg)
+    val report = RasterPipeline.runResumable(spark, files.toSeq, outDir, cfg)
     val secs = (System.nanoTime() - t0) / 1e9
-    written.foreach(println)
-    println(f"wrote ${written.size} files in $secs%.1f s")
+    report.files.foreach(println)
+    println(f"tiles: ${report.tilesTotal} total, ${report.tilesSkipped} skipped (committed), " +
+      f"${report.tilesWritten} written in $secs%.1f s")
     spark.stop()
   }
 }

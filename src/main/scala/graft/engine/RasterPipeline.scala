@@ -129,7 +129,8 @@ object RasterPipeline {
       offsets: Map[(String, Int), TileOffsets],
       outDir: String,
       cfg: JobConfig,
-      singleFileName: Option[String] = None): Seq[String] = {
+      singleFileName: Option[String] = None,
+      commit: Boolean = false): Seq[String] = {
     val spark = contoursDs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(offsets)
@@ -144,14 +145,19 @@ object RasterPipeline {
         var curKey: (String, Int) = null
         var writer: OsmXmlWriter = null
         var nodeId = 0L
+        var nodeStart = 0L
         var ways = scala.collection.mutable.ArrayBuffer.empty[PreparedWay]
         var wayStart = 0L
         var fileName: String = null
+        var t0 = 0L
         val written = scala.collection.mutable.ArrayBuffer.empty[String]
         def close(): Unit = if (writer != null) {
           writer.writeWays(ways.toSeq, wayStart)
           writer.done(classifier)
           written += fileName
+          if (commit) Checkpoint.writeCommit(outDir, Checkpoint.Commit(
+            curKey._1, curKey._2, nodeId - nodeStart, ways.size.toLong, fileName,
+            (System.nanoTime() - t0) / 1000000L))
           writer = null
           ways = scala.collection.mutable.ArrayBuffer.empty[PreparedWay]
         }
@@ -160,8 +166,10 @@ object RasterPipeline {
           if (k != curKey) {
             close()
             curKey = k
+            t0 = System.nanoTime()
             val off = bc.value(k)
             nodeId = off.nodeStart
+            nodeStart = off.nodeStart
             wayStart = off.wayStart
             val name = single.getOrElse(
               OsmXml.tileFileName(row.minLon, row.minLat, row.maxLon, row.maxLat, suffix = s"_${row.key}"))
@@ -193,5 +201,57 @@ object RasterPipeline {
       val offs = idOffsets(cs, cfg)
       writeOsmXml(cs, offs, outDir, cfg)
     } finally cs.unpersist()
+  }
+
+  final case class RunReport(
+      tilesTotal: Int, tilesSkipped: Int, tilesWritten: Int, files: Seq[String])
+
+  /** Resumable run: tiles with a commit record are skipped; id offsets are
+    * rebuilt from committed counts + freshly traced counts, so a resumed
+    * run emits byte-identical files to a fresh one. Also appends a metrics
+    * table (per-tile rows) and a lineage table (input -> tile -> file)
+    * under outDir/_meta. */
+  def runResumable(spark: SparkSession, paths: Seq[String], outDir: String, cfg: JobConfig): RunReport = {
+    import spark.implicits._
+    new java.io.File(outDir).mkdirs()
+    val committed = Checkpoint.readCommits(outDir)
+    val committedKeys = committed.map(c => (c.key, c.tileIdx)).toSet
+    val bcCommitted = spark.sparkContext.broadcast(committedKeys)
+    val tilesAll = tiles(spark, paths, cfg).persist()
+    val allKeys = tilesAll.select("key", "tileIdx").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val todo = tilesAll.filter(t => !bcCommitted.value.contains((t.key, t.tileIdx)))
+    val cs = contours(todo, cfg).persist()
+    try {
+      val freshCounts = cs
+        .groupBy("key", "tileIdx")
+        .agg(sum("nbNodes").as("nodes"), count(lit(1)).as("ways"))
+        .collect()
+        .map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+      val committedCounts = committed.map(c => ((c.key, c.tileIdx), (c.nodes, c.ways))).toMap
+      // merged deterministic prefix sum over ALL tiles in (key, tileIdx) order
+      val merged = (freshCounts ++ committedCounts).toSeq.sortBy(_._1)
+      var nodeId = cfg.startNodeId
+      var wayId = cfg.startWayId
+      val offsets = merged.map { case (k, (nodes, waysN)) =>
+        val off = TileOffsets(nodeId, wayId)
+        nodeId += nodes
+        wayId += waysN
+        k -> off
+      }.toMap
+      val files = writeOsmXml(cs, offsets, outDir, cfg, commit = true)
+      // metrics + lineage tables
+      val after = Checkpoint.readCommits(outDir)
+      if (after.nonEmpty) {
+        after.toDF().write.mode("overwrite").parquet(s"$outDir/_meta/metrics.parquet")
+        val lineage = allKeys.toSeq.toDF("key", "tileIdx")
+          .join(after.toDF().select("key", "tileIdx", "file"), Seq("key", "tileIdx"), "left")
+        lineage.write.mode("overwrite").parquet(s"$outDir/_meta/lineage.parquet")
+      }
+      RunReport(allKeys.length, committedKeys.size, files.size, files)
+    } finally {
+      cs.unpersist(); tilesAll.unpersist()
+    }
   }
 }

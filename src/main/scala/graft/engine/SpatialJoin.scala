@@ -1,0 +1,147 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{BBox, Cells}
+import graft.functions.PipContainsCol
+
+/** Pages x polygons spatial join and kNN, built the way they must run at
+  * 10^12-row scale (SURVEY.md §2.3 J3/J5, north rule):
+  *
+  *  - polygons are covered by grid cells at a chosen resolution; the
+  *    cell-cover equi-join prunes the candidate set BEFORE the exact
+  *    point-in-polygon residual (the reference's clip-before-PIP pattern,
+  *    /root/reference/pyhgtmap/hgt/file.py:329-331, as a join plan);
+  *  - the cover side is broadcast when small, else salted: pages get a
+  *    deterministic hash(url)-based salt, the cover side is replicated
+  *    per salt — dense cells (urban clusters) spread over `salt` reducers;
+  *  - kNN expands k-rings around each query cell and takes a windowed
+  *    top-k; the ring radius doubles until the k-th neighbour is provably
+  *    inside the ring (distance bound), so results equal brute force.
+  */
+object SpatialJoin {
+
+  final case class Poly(polyId: Long, coords: Array[Double]) {
+    def bbox: BBox = {
+      var minLon = Double.MaxValue; var minLat = Double.MaxValue
+      var maxLon = Double.MinValue; var maxLat = Double.MinValue
+      var i = 0
+      while (i < coords.length) {
+        val x = coords(i); val y = coords(i + 1)
+        if (x < minLon) minLon = x; if (x > maxLon) maxLon = x
+        if (y < minLat) minLat = y; if (y > maxLat) maxLat = y
+        i += 2
+      }
+      BBox(minLon, minLat, maxLon, maxLat)
+    }
+  }
+
+  /** Cell cover of each polygon's bbox at `res` (coarse prefilter; exact
+    * residual is the PIP predicate). */
+  def coverDf(spark: SparkSession, polys: Seq[Poly], res: Int): DataFrame = {
+    import spark.implicits._
+    polys.flatMap { p =>
+      Cells.cover(p.bbox, res).map(c => (c, p.polyId, p.coords))
+    }.toDF("cell", "poly_id", "poly_coords")
+  }
+
+  /** pages(cell, lon, lat, ...) x polygons -> rows inside each polygon.
+    * Broadcast cover variant (cover side small). */
+  def pipJoin(pages: DataFrame, polys: Seq[Poly], res: Int): DataFrame = {
+    val spark = pages.sparkSession
+    PipContainsCol.register(spark)
+    val cover = coverDf(spark, polys, res)
+    pages
+      .join(broadcast(cover), Seq("cell"))
+      .filter(call_function("pip_contains_col", col("lon"), col("lat"), col("poly_coords")))
+      .drop("poly_coords")
+  }
+
+  /** Salted shuffle variant for covers too large to broadcast / dense
+    * cells: deterministic salt = pmod(xxhash64(url), salts). */
+  def pipJoinSalted(pages: DataFrame, polys: Seq[Poly], res: Int, salts: Int): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    PipContainsCol.register(spark)
+    val saltsDf = spark.range(0, salts).toDF("salt")
+    val cover = coverDf(spark, polys, res).crossJoin(saltsDf)
+    pages
+      .withColumn("salt", pmod(xxhash64(col("url")), lit(salts.toLong)))
+      .join(cover.hint("shuffle_hash"), Seq("cell", "salt"))
+      .filter(call_function("pip_contains_col", col("lon"), col("lat"), col("poly_coords")))
+      .drop("poly_coords", "salt")
+  }
+
+  /** Exact kNN via k-ring candidate join with provable termination:
+    * a result set for query q is final when it holds >= k candidates whose
+    * k-th distance <= ring guarantee (ring * cellSize in degrees). Rings
+    * double until every query is final (or the ring spans the data bbox).
+    * Returns (q_id, rank, page_id, dist). */
+  def knn(
+      pages: DataFrame, // needs page_id, lon, lat, cell
+      queries: Seq[(Long, Double, Double)],
+      k: Int,
+      res: Int,
+      maxRing: Int = 1 << 12): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val cellSize = 1.0 / (1L << res).toDouble
+    var ring = 1
+    var remaining = queries
+    val accRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    while (remaining.nonEmpty && ring <= maxRing) {
+      val cand = remaining.flatMap { case (qid, qLon, qLat) =>
+        Cells.kRing(Cells.cellId(qLon, qLat, res), res, ring)
+          .map(c => (qid, qLon, qLat, c))
+      }
+      val candDf = cand.toDF("q_id", "q_lon", "q_lat", "cell")
+      val joined = pages.join(broadcast(candDf), Seq("cell"))
+        .withColumn(
+          "dist",
+          sqrt((col("lon") - col("q_lon")) * (col("lon") - col("q_lon")) +
+            (col("lat") - col("q_lat")) * (col("lat") - col("q_lat"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("dist").asc, col("page_id").asc)
+      val topk = joined
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("q_id", "rank", "page_id", "dist")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      // a point at euclid distance d is at most floor(d/cellSize)+1 cells
+      // away (Chebyshev), so a ring of radius `ring` provably covers all
+      // points within (ring-1)*cellSize of the query.
+      val guarantee = (ring - 1) * cellSize
+      val byQ = topk.groupBy(_._1)
+      val done = remaining.filter { case (qid, _, _) =>
+        byQ.get(qid).exists(rows => rows.length >= k && rows.map(_._4).max <= guarantee)
+      }
+      val doneIds = done.map(_._1).toSet
+      accRows ++= topk.filter(r => doneIds.contains(r._1))
+      remaining = remaining.filterNot(q => doneIds.contains(q._1))
+      ring *= 2
+    }
+    require(remaining.isEmpty, s"knn did not converge for queries: ${remaining.map(_._1)}")
+    accRows.toSeq.toDF("q_id", "rank", "page_id", "dist").orderBy("q_id", "rank")
+  }
+
+  /** Brute-force reference kNN (test oracle / small inputs). */
+  def knnBrute(
+      pages: DataFrame,
+      queries: Seq[(Long, Double, Double)],
+      k: Int): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val q = queries.toDF("q_id", "q_lon", "q_lat")
+    val joined = pages.crossJoin(broadcast(q))
+      .withColumn(
+        "dist",
+        sqrt((col("lon") - col("q_lon")) * (col("lon") - col("q_lon")) +
+          (col("lat") - col("q_lat")) * (col("lat") - col("q_lat"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dist").asc, col("page_id").asc)
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("q_id", "rank", "page_id", "dist")
+      .orderBy("q_id", "rank")
+  }
+}

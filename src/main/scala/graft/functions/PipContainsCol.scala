@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import graft.core.Geometry
+
+/** Point-in-polygon where the polygon comes from a column
+  * (array<double>, interleaved lon,lat) — the exact-residual predicate of
+  * the cell-prejoin + PIP spatial join (SURVEY.md §2.3 J3). */
+case class PipContainsCol(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(lon: Any, lat: Any, poly: Any): Any = {
+    val arr = poly.asInstanceOf[ArrayData].toDoubleArray()
+    Geometry.contains(arr, lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PipContainsCol = copy(f, s, t)
+  override def prettyName: String = "pip_contains_col"
+}
+
+object PipContainsCol {
+  def register(spark: org.apache.spark.sql.SparkSession, name: String = "pip_contains_col"): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => PipContainsCol(exprs(0), exprs(1), exprs(2)), "built-in")
+}
