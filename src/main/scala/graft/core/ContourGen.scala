@@ -31,11 +31,12 @@ object ContourGen {
       Levels.levels(minEle, maxEle, cfg.contourStepSize, cfg.noZero, cfg.minCont, cfg.maxCont)
     val xs = Hgt.xData(bbox.minLon, lonInc, gv.cols)
     val ys = Hgt.yData(bbox.maxLat, latInc, gv.rows)
+    val stats = MarchingSquares.rowStats(gv) // once per tile, shared by all levels
     var totalNodes = 0L
     var totalWays = 0L
     val perLevel = new ArrayBuffer[LevelContours](levels.size)
     levels.foreach { level =>
-      val raw = MarchingSquares.trace(gv, xs, ys, level.toDouble, cornerMask = true, scratch)
+      val raw = MarchingSquares.trace(gv, xs, ys, level.toDouble, cornerMask = true, scratch, stats)
       val outPaths = new ArrayBuffer[Array[Double]]()
       raw.foreach { path0 =>
         val path = cfg.rdpEpsilon match {

@@ -40,8 +40,50 @@ object MarchingSquares {
   final class Scratch {
     var visited: Array[Int] = new Array[Int](0)
     var stamp: Int = 0
+    var aboveA: Array[Boolean] = new Array[Boolean](0)
+    var aboveB: Array[Boolean] = new Array[Boolean](0)
     def ensure(n: Int): Unit =
       if (visited.length < n) { visited = new Array[Int](n); stamp = 0 }
+    def ensureRows(cols: Int): Unit =
+      if (aboveA.length < cols) { aboveA = new Array[Boolean](cols); aboveB = new Array[Boolean](cols) }
+  }
+
+  /** Per-point-row min/max over valid points — computed once per tile and
+    * shared across all levels (row skipping). */
+  def rowStats(gv: GridView): (Array[Double], Array[Double]) = {
+    val rowMin = new Array[Double](gv.rows)
+    val rowMax = new Array[Double](gv.rows)
+    var r = 0
+    while (r < gv.rows) {
+      var mn = Double.PositiveInfinity
+      var mx = Double.NegativeInfinity
+      var c = 0
+      while (c < gv.cols) {
+        if (!gv.masked(r, c)) {
+          val z = gv.z(r, c)
+          if (z < mn) mn = z
+          if (z > mx) mx = z
+        }
+        c += 1
+      }
+      rowMin(r) = mn; rowMax(r) = mx
+      r += 1
+    }
+    (rowMin, rowMax)
+  }
+
+  /** Growable primitive double buffer (ArrayBuffer[Double] would box every
+    * coordinate — at tens of millions of nodes the allocation rate becomes
+    * the scaling bottleneck). */
+  final class DoubleBuf(initial: Int = 32) {
+    private var arr = new Array[Double](initial)
+    private var len = 0
+    @inline def +=(v: Double): Unit = {
+      if (len == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+      arr(len) = v
+      len += 1
+    }
+    def toArray: Array[Double] = java.util.Arrays.copyOf(arr, len)
   }
 
   // Edge kind bases are computed per grid inside trace().
@@ -54,7 +96,8 @@ object MarchingSquares {
       yData: Array[Double],
       level: Double,
       cornerMask: Boolean,
-      scratch: Scratch): ArrayBuffer[Array[Double]] = {
+      scratch: Scratch,
+      stats: (Array[Double], Array[Double]) = null): ArrayBuffer[Array[Double]] = {
     val rows = gv.rows
     val cols = gv.cols
     val out = new ArrayBuffer[Array[Double]]()
@@ -156,7 +199,7 @@ object MarchingSquares {
     }
 
     /** Append the interpolated crossing point of `edge` to buf. */
-    def appendPoint(edge: Int, buf: ArrayBuffer[Double]): Unit = {
+    def appendPoint(edge: Int, buf: DoubleBuf): Unit = {
       if (edge < HB) {
         val r = edge / (cols - 1); val c = edge % (cols - 1)
         val z0 = gv.z(r, c); val z1 = gv.z(r, c + 1)
@@ -204,7 +247,7 @@ object MarchingSquares {
 
     /** Walk from `start` entering quad (qr,qc); emit path into out. */
     def walk(start: Int, qr0: Int, qc0: Int): Unit = {
-      val buf = new ArrayBuffer[Double](32)
+      val buf = new DoubleBuf(32)
       appendPoint(start, buf)
       visited(start) = stamp
       var cur = start
@@ -231,26 +274,7 @@ object MarchingSquares {
     }
 
     // per-point-row min/max over valid points, for fast row skipping
-    val rowMin = new Array[Double](rows)
-    val rowMax = new Array[Double](rows)
-    locally {
-      var r = 0
-      while (r < rows) {
-        var mn = Double.PositiveInfinity
-        var mx = Double.NegativeInfinity
-        var c = 0
-        while (c < cols) {
-          if (!gv.masked(r, c)) {
-            val z = gv.z(r, c)
-            if (z < mn) mn = z
-            if (z > mx) mx = z
-          }
-          c += 1
-        }
-        rowMin(r) = mn; rowMax(r) = mx
-        r += 1
-      }
-    }
+    val (rowMin, rowMax) = if (stats != null) stats else rowStats(gv)
     @inline def rowSkip(r: Int): Boolean = {
       // quad row r spans point rows r, r+1: skip if all valid points above or all below
       val mn = math.min(rowMin(r), rowMin(r + 1))
@@ -258,6 +282,88 @@ object MarchingSquares {
       mn > level || mx <= level
     }
 
+    if (gv.mask == null) {
+      // Fast path (no voids): boundary starts exist only on the grid
+      // border, and interior loop detection scans row classification
+      // bitmaps (2 boolean reads per quad instead of 4 float loads).
+      scratch.ensureRows(cols)
+      // Pass 1: border crossings. Top row (N edges), bottom row (S edges),
+      // then left/right columns (W/E edges), mirroring the general path's
+      // per-quad N,W,S,E order closely enough for deterministic output.
+      if (!rowSkip(0)) {
+        var c = 0
+        while (c < cols - 1) {
+          if (above(0, c) != above(0, c + 1)) {
+            val e = hId(0, c)
+            if (visited(e) != stamp) walk(e, 0, c)
+          }
+          c += 1
+        }
+      }
+      val rb = rows - 2
+      if (!rowSkip(rb)) {
+        var c = 0
+        while (c < cols - 1) {
+          if (above(rb + 1, c) != above(rb + 1, c + 1)) {
+            val e = hId(rb + 1, c)
+            if (visited(e) != stamp) walk(e, rb, c)
+          }
+          c += 1
+        }
+      }
+      var r = 0
+      while (r < rows - 1) {
+        if (!rowSkip(r)) {
+          if (above(r, 0) != above(r + 1, 0)) {
+            val e = vId(r, 0)
+            if (visited(e) != stamp) walk(e, r, 0)
+          }
+          if (above(r, cols - 1) != above(r + 1, cols - 1)) {
+            val e = vId(r, cols - 1)
+            if (visited(e) != stamp) walk(e, r, cols - 2)
+          }
+        }
+        r += 1
+      }
+      // Pass 2: interior loops via rolling row bitmaps.
+      var aTop = scratch.aboveA
+      var aBot = scratch.aboveB
+      var lastRow = -2
+      @inline def fill(row: Int, arr: Array[Boolean]): Unit = {
+        var c = 0
+        while (c < cols) { arr(c) = gv.z(row, c) > level; c += 1 }
+      }
+      r = 0
+      while (r < rows - 1) {
+        if (!rowSkip(r)) {
+          if (lastRow == r - 1) {
+            val t = aTop; aTop = aBot; aBot = t
+            fill(r + 1, aBot)
+          } else {
+            fill(r, aTop)
+            fill(r + 1, aBot)
+          }
+          lastRow = r
+          var c = 0
+          while (c < cols - 1) {
+            val tl = aTop(c)
+            if (tl != aTop(c + 1)) {
+              val e = hId(r, c)
+              if (visited(e) != stamp) walk(e, r, c)
+            }
+            if (tl != aBot(c)) {
+              val e = vId(r, c)
+              if (visited(e) != stamp) walk(e, r, c)
+            }
+            c += 1
+          }
+        }
+        r += 1
+      }
+      return out
+    }
+
+    // General (masked) path.
     // Pass 1: boundary starts.
     var r = 0
     while (r < rows - 1) {

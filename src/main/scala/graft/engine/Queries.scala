@@ -175,16 +175,10 @@ object Queries {
   private val P = 1000003L
 
   private def shingles(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").filter(length(col("text")) >= 4)
-    docs
-      .select(col("doc_id"), col("text"), explode(sequence(lit(1), length(col("text")) - 3)).as("i"))
-      .withColumn(
-        "h",
-        (ascii(expr("substring(text, i, 1)")) * lit(29791L) +
-          ascii(expr("substring(text, i+1, 1)")) * lit(961L) +
-          ascii(expr("substring(text, i+2, 1)")) * lit(31L) +
-          ascii(expr("substring(text, i+3, 1)")).cast("long")))
-      .select("doc_id", "h")
+    graft.functions.ShingleHashes.register(s, "shingle_hashes_4", 4)
+    t(s, dir, "documents")
+      .filter(length(col("text")) >= 4)
+      .select(col("doc_id"), explode(call_function("shingle_hashes_4", col("text"))).as("h"))
   }
 
   private val shinglesSql =
@@ -212,15 +206,10 @@ object Queries {
     * de-concentrates minhash minima (985 distinct 4-grams vs 13005 8-grams
     * on the synthetic corpus), so the LSH bucket join stays near-linear. */
   private def shingles8(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").filter(length(col("text")) >= 8)
-    val powers = Seq(27512614111L, 887503681L, 28629151L, 923521L, 29791L, 961L, 31L, 1L)
-    val h = powers.zipWithIndex.map { case (p, k) =>
-      ascii(expr(s"substring(text, i+$k, 1)")).cast("long") * lit(p)
-    }.reduce(_ + _)
-    docs
-      .select(col("doc_id"), col("text"), explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
-      .withColumn("h", h)
-      .select("doc_id", "h")
+    graft.functions.ShingleHashes.register(s, "shingle_hashes_8", 8)
+    t(s, dir, "documents")
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), explode(call_function("shingle_hashes_8", col("text"))).as("h"))
   }
 
   private val shingles8Sql = {

@@ -25,14 +25,19 @@ import graft.sinks.{OsmXmlWriter, OsmXml, PreparedWay}
   */
 object RasterPipeline {
 
+  /** Lightweight tile spec: the shuffle unit carries offsets into its
+    * source file, NOT the grid data — executors re-read + decode the
+    * (small, page-cached) source locally, so the range shuffle moves only
+    * metadata rows. At 100 TB this is the difference between shuffling
+    * terabytes of raster and shuffling kilobytes of specs. */
   final case class DemTileRow(
       key: String,
       tileIdx: Int,
+      path: String,
       minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
-      rows: Int, cols: Int,
-      lonInc: Double, latInc: Double,
-      values: Array[Float],
-      mask: Array[Boolean])
+      rowOff: Int, rows: Int, colOff: Int, cols: Int,
+      fullCols: Int,
+      lonInc: Double, latInc: Double)
 
   final case class ContourRow(
       key: String,
@@ -46,7 +51,10 @@ object RasterPipeline {
 
   final case class TileOffsets(nodeStart: Long, wayStart: Long)
 
-  /** Scan + decode + chop: one output row per tile. */
+  private def localPath(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
+  /** Scan + decode + chop: one lightweight spec row per tile. */
   def tiles(spark: SparkSession, paths: Seq[String], cfg: JobConfig): Dataset[DemTileRow] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(paths: _*)
@@ -61,20 +69,25 @@ object RasterPipeline {
         val start = Chop.truncate(cfg.area, bbox, grid.rows, grid.cols, lonInc, latInc)
         val slices = Chop.chop(grid, start, latInc, cfg.contourStepSize, cfg.maxNodesPerTile)
         slices.zipWithIndex.map { case (s, idx) =>
-          // copy the slice so each tile row is self-contained
-          val vals = new Array[Float](s.rows * s.cols)
-          val msk = if (grid.mask == null) null else new Array[Boolean](s.rows * s.cols)
-          var r = 0
-          while (r < s.rows) {
-            System.arraycopy(grid.values, (s.rowOff + r) * grid.cols + s.colOff, vals, r * s.cols, s.cols)
-            if (msk != null)
-              System.arraycopy(grid.mask, (s.rowOff + r) * grid.cols + s.colOff, msk, r * s.cols, s.cols)
-            r += 1
-          }
-          DemTileRow(key, idx, s.bbox.minLon, s.bbox.minLat, s.bbox.maxLon, s.bbox.maxLat,
-            s.rows, s.cols, lonInc, latInc, vals, msk)
+          DemTileRow(key, idx, path, s.bbox.minLon, s.bbox.minLat, s.bbox.maxLon, s.bbox.maxLat,
+            s.rowOff, s.rows, s.colOff, s.cols, grid.cols, lonInc, latInc)
         }
       }
+  }
+
+  /** Executor-side grid materialization for a spec (decode cached per task
+    * so consecutive tiles of the same file decode once). */
+  private final class GridCache(voidMax: Int) {
+    private var cachedPath: String = null
+    private var cachedGrid: Grid = null
+    def grid(path: String): Grid = {
+      if (path != cachedPath) {
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(localPath(path)))
+        cachedGrid = Hgt.decode(bytes, voidMax)
+        cachedPath = path
+      }
+      cachedGrid
+    }
   }
 
   /** Trace contours per tile; explicit range-partitioned shuffle on the
@@ -83,12 +96,16 @@ object RasterPipeline {
     val spark = tilesDs.sparkSession
     import spark.implicits._
     val parts = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    val voidMax = cfg.voidMax
     tilesDs
       .repartitionByRange(parts, col("key"), col("tileIdx"))
+      .sortWithinPartitions("path", "tileIdx") // group same-file tiles -> one decode
       .mapPartitions { it =>
         val scratch = new Scratch
+        val cache = new GridCache(voidMax)
         it.flatMap { tr =>
-          val gv = new GridView(tr.values, tr.mask, 0, tr.cols, tr.rows, tr.cols)
+          val g = cache.grid(tr.path)
+          val gv = new GridView(g.values, g.mask, tr.rowOff * tr.fullCols + tr.colOff, tr.fullCols, tr.rows, tr.cols)
           val bbox = BBox(tr.minLon, tr.minLat, tr.maxLon, tr.maxLat)
           val tc = ContourGen.tileContours(gv, bbox, tr.lonInc, tr.latInc, cfg, scratch)
           tc.contours.iterator.flatMap { lc =>

@@ -37,24 +37,33 @@ object SpatialJoin {
   }
 
   /** Cell cover of each polygon's bbox at `res` (coarse prefilter; exact
-    * residual is the PIP predicate). */
+    * residual is the PIP predicate). Carries only ids — polygon vertices
+    * travel once via a torrent broadcast (see PipLookup). */
   def coverDf(spark: SparkSession, polys: Seq[Poly], res: Int): DataFrame = {
     import spark.implicits._
     polys.flatMap { p =>
-      Cells.cover(p.bbox, res).map(c => (c, p.polyId, p.coords))
-    }.toDF("cell", "poly_id", "poly_coords")
+      Cells.cover(p.bbox, res).map(c => (c, p.polyId))
+    }.toDF("cell", "poly_id")
+  }
+
+  private def registerPipLookup(pages: DataFrame, polys: Seq[Poly]): String = {
+    val spark = pages.sparkSession
+    val bc = spark.sparkContext.broadcast(polys.map(p => p.polyId -> p.coords).toMap)
+    val name = s"pip_lookup_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => graft.functions.PipLookup(exprs(0), exprs(1), exprs(2), bc), "built-in")
+    name
   }
 
   /** pages(cell, lon, lat, ...) x polygons -> rows inside each polygon.
     * Broadcast cover variant (cover side small). */
   def pipJoin(pages: DataFrame, polys: Seq[Poly], res: Int): DataFrame = {
     val spark = pages.sparkSession
-    PipContainsCol.register(spark)
+    val fn = registerPipLookup(pages, polys)
     val cover = coverDf(spark, polys, res)
     pages
       .join(broadcast(cover), Seq("cell"))
-      .filter(call_function("pip_contains_col", col("lon"), col("lat"), col("poly_coords")))
-      .drop("poly_coords")
+      .filter(call_function(fn, col("lon"), col("lat"), col("poly_id")))
   }
 
   /** Salted shuffle variant for covers too large to broadcast / dense
@@ -62,14 +71,14 @@ object SpatialJoin {
   def pipJoinSalted(pages: DataFrame, polys: Seq[Poly], res: Int, salts: Int): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    PipContainsCol.register(spark)
+    val fn = registerPipLookup(pages, polys)
     val saltsDf = spark.range(0, salts).toDF("salt")
     val cover = coverDf(spark, polys, res).crossJoin(saltsDf)
     pages
       .withColumn("salt", pmod(xxhash64(col("url")), lit(salts.toLong)))
       .join(cover.hint("shuffle_hash"), Seq("cell", "salt"))
-      .filter(call_function("pip_contains_col", col("lon"), col("lat"), col("poly_coords")))
-      .drop("poly_coords", "salt")
+      .filter(call_function(fn, col("lon"), col("lat"), col("poly_id")))
+      .drop("salt")
   }
 
   /** Exact kNN via k-ring candidate join with provable termination:

@@ -26,3 +26,22 @@ object PipContainsCol {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => PipContainsCol(exprs(0), exprs(1), exprs(2)), "built-in")
 }
+
+/** PIP against a broadcast polygon dictionary: the candidate rows carry
+  * only (lon, lat, poly_id); polygon vertices live once per executor in
+  * the torrent broadcast instead of being replicated into every cover-cell
+  * row (which would make the cover broadcast O(cells x vertices)). */
+case class PipLookup(
+    first: Expression, second: Expression, third: Expression,
+    polys: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]])
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(lon: Any, lat: Any, polyId: Any): Any =
+    polys.value.get(polyId.asInstanceOf[Long]) match {
+      case Some(arr) => Geometry.contains(arr, lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+      case None => false
+    }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PipLookup = copy(f, s, t)
+  override def prettyName: String = "pip_lookup"
+}

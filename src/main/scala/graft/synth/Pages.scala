@@ -51,10 +51,20 @@ object Pages {
   }
 
   /** Reversible html wrapper; extractText(htmlOf(t)) == t byte-identically. */
-  def htmlOf(text: String, url: String): Array[Byte] =
-    (s"<html><head><title>$url</title></head><body><p>" +
-      text.replace("&", "&amp;").replace("<", "&lt;") +
-      "</p></body></html>").getBytes("UTF-8")
+  def htmlOf(text: String, url: String): Array[Byte] = {
+    val sb = new java.lang.StringBuilder(text.length + url.length + 80)
+    sb.append("<html><head><title>").append(url).append("</title></head><body><p>")
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (ch == '&') sb.append("&amp;")
+      else if (ch == '<') sb.append("&lt;")
+      else sb.append(ch)
+      i += 1
+    }
+    sb.append("</p></body></html>")
+    sb.toString.getBytes("UTF-8")
+  }
 
   /** The extraction the engine applies downstream (inverse of htmlOf). */
   def extractText(html: Array[Byte]): String = {
@@ -92,9 +102,11 @@ object Pages {
   }
 
   /** Distributed generation: n rows, fully deterministic per id. */
-  def generate(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[Page] = {
+  def generate(spark: SparkSession, n: Long, partitions: Int = 0): Dataset[Page] = {
     import spark.implicits._
-    spark.range(0, n, 1, partitions).map(i => pageOf(i))
+    val parts = if (partitions > 0) partitions
+      else math.max(spark.sparkContext.defaultParallelism * 4, 32)
+    spark.range(0, n, 1, parts).map(i => pageOf(i))
   }
 
   /** Pages with derived geocode + cell columns (the engine's geocoding
@@ -105,8 +117,8 @@ object Pages {
     val id = regexp_extract(col("url"), "/page/(\\d+)$", 1).cast("long")
     pages
       .withColumn("page_id", id)
-      .withColumn("lon", lonCol(id))
-      .withColumn("lat", latCol(id))
+      .withColumn("lon", lonCol(col("page_id")))
+      .withColumn("lat", latCol(col("page_id")))
       .withColumn("cell", graft.functions.GeoCols.cellId(col("lon"), col("lat"), res))
   }
 
