@@ -322,6 +322,41 @@ object Queries {
            |       WHERE length(text) >= 3 GROUP BY 1, 2))
            |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin))
 
+  private val qRoundtrip = Q(
+    "q26_text_roundtrip",
+    (s, dir) => {
+      graft.functions.WrapExtract.register(s)
+      // the per-row invariant: text -> html wrap -> extract is byte-identical,
+      // so hashing the round-tripped text must equal hashing the original
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          sha2(call_function("wrap_extract", col("text"),
+            concat(lit("https://docs.example/"), col("doc_id"))), 256).as("text_sha256"),
+          length(col("text")).as("n_bytes"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, sha256(text) AS text_sha256, length(text) AS n_bytes
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private val qStreamHourly = Q(
+    "q40_stream_hourly",
+    (s, dir) => Streaming.hourlyByType(s, s"$dir/events.parquet"),
+    Some("""SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_epoch,
+           | count(*) AS n, round(sum(value), 4) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_epoch""".stripMargin))
+
+  private val qStreamSessions = Q(
+    "q41_stream_sessions",
+    (s, dir) => Streaming.sessionizeStream(s, s"$dir/events.parquet"),
+    Some("""SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+           |FROM (SELECT user_id,
+           |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           |   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) > 1800
+           |  THEN 1 ELSE 0 END AS new_session
+           | FROM events)
+           |GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   // --------------------------------------------------------------- embeddings ---
 
   private def embDims(s: SparkSession, dir: String): DataFrame =
@@ -516,5 +551,6 @@ object Queries {
     qPricing, qNationRevenue, qTopOrders, qRollup, qSessions, qEventHours,
     qGeoCell, qGeoPip, qGeoKnn, qGeoTiles, qGeoBands,
     qDedupExact, qMinhash, qNearDup, qSimhash, qTextStats, qNgrams,
+    qRoundtrip, qStreamHourly, qStreamSessions,
     qEmbStats, qAnn, qCentroids)
 }

@@ -147,7 +147,8 @@ object RasterPipeline {
       outDir: String,
       cfg: JobConfig,
       singleFileName: Option[String] = None,
-      commit: Boolean = false): Seq[String] = {
+      commit: Boolean = false,
+      format: String = graft.sinks.TileSink.OsmXmlFormat): Seq[String] = {
     val spark = contoursDs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(offsets)
@@ -160,7 +161,7 @@ object RasterPipeline {
       .mapPartitions { it =>
         val classifier: Long => String = e => Levels.elevClassifier(major, medium)(e.toInt)
         var curKey: (String, Int) = null
-        var writer: OsmXmlWriter = null
+        var writer: graft.sinks.TileSink = null
         var nodeId = 0L
         var nodeStart = 0L
         var ways = scala.collection.mutable.ArrayBuffer.empty[PreparedWay]
@@ -169,8 +170,7 @@ object RasterPipeline {
         var t0 = 0L
         val written = scala.collection.mutable.ArrayBuffer.empty[String]
         def close(): Unit = if (writer != null) {
-          writer.writeWays(ways.toSeq, wayStart)
-          writer.done(classifier)
+          writer.finish(ways.toSeq, wayStart, classifier)
           written += fileName
           if (commit) Checkpoint.writeCommit(outDir, Checkpoint.Commit(
             curKey._1, curKey._2, nodeId - nodeStart, ways.size.toLong, fileName,
@@ -188,12 +188,10 @@ object RasterPipeline {
             nodeId = off.nodeStart
             nodeStart = off.nodeStart
             wayStart = off.wayStart
-            val name = single.getOrElse(
-              OsmXml.tileFileName(row.minLon, row.minLat, row.maxLon, row.maxLat, suffix = s"_${row.key}"))
+            val bbox = BBox(row.minLon, row.minLat, row.maxLon, row.maxLat)
+            val name = single.getOrElse(graft.sinks.TileSink.fileName(bbox, row.key, format))
             fileName = s"$outDir/$name"
-            writer = new OsmXmlWriter(
-              new java.io.BufferedOutputStream(new java.io.FileOutputStream(fileName), 1 << 20),
-              OsmXml.boundsTag(row.minLon, row.minLat, row.maxLon, row.maxLat))
+            writer = graft.sinks.TileSink.open(fileName, bbox, format)
           }
           val (next, way) = writer.writePath(row.coords, nodeId, row.elevation.toLong)
           nodeId = next
