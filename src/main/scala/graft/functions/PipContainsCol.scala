@@ -14,7 +14,8 @@ case class PipContainsCol(first: Expression, second: Expression, third: Expressi
   override def dataType: DataType = BooleanType
   override def nullSafeEval(lon: Any, lat: Any, poly: Any): Any = {
     val arr = poly.asInstanceOf[ArrayData].toDoubleArray()
-    Geometry.contains(arr, lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+    Geometry.contains(arr,
+      lon.asInstanceOf[Number].doubleValue(), lat.asInstanceOf[Number].doubleValue())
   }
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): PipContainsCol = copy(f, s, t)
@@ -37,8 +38,9 @@ case class PipLookup(
     extends TernaryExpression with CodegenFallback {
   override def dataType: DataType = BooleanType
   override def nullSafeEval(lon: Any, lat: Any, polyId: Any): Any =
-    polys.value.get(polyId.asInstanceOf[Long]) match {
-      case Some(arr) => Geometry.contains(arr, lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+    polys.value.get(polyId.asInstanceOf[Number].longValue()) match {
+      case Some(arr) => Geometry.contains(arr,
+        lon.asInstanceOf[Number].doubleValue(), lat.asInstanceOf[Number].doubleValue())
       case None => false
     }
   override protected def withNewChildrenInternal(

@@ -9,7 +9,8 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * for deterministic hash-derived geocodes and salts. */
 case class SplitMix64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(x: Any): Any = graft.synth.Pages.mix(x.asInstanceOf[Long])
+  override def nullSafeEval(x: Any): Any =
+    graft.synth.Pages.mix(x.asInstanceOf[Number].longValue())
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SplitMix64.mix($c)")
   override protected def withNewChildInternal(c: Expression): SplitMix64 = copy(c)

@@ -1,0 +1,52 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]").appName("ann-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private lazy val vectors = {
+    val df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      .cache()
+    df.count()
+    df
+  }
+  private lazy val queries = vectors.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
+
+  test("ivf with nprobe = k equals brute force exactly") {
+    val centroids = Ann.trainCentroids(vectors, k = 8, iters = 3)
+    assert(centroids.size == 8)
+    val index = Ann.assign(vectors, centroids)
+    assert(index.count() == vectors.count()) // every vector in exactly one cluster
+    val ivf = Ann.ivfTopK(index, centroids, queries, k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val brute = Ann.bruteTopK(vectors, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(ivf == brute)
+  }
+
+  test("ivf with nprobe = 2 keeps useful recall at an 4x candidate cut") {
+    val centroids = Ann.trainCentroids(vectors, k = 8, iters = 3)
+    val index = Ann.assign(vectors, centroids)
+    val ivf = Ann.ivfTopK(index, centroids, queries, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = Ann.bruteTopK(vectors, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("training is deterministic") {
+    val a = Ann.trainCentroids(vectors, k = 4, iters = 2).map(_._2.toSeq)
+    val b = Ann.trainCentroids(vectors, k = 4, iters = 2).map(_._2.toSeq)
+    assert(a == b)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape checks: filters reach the parquet scan, projections
+  * prune columns, small sides broadcast, hot paths stay in whole-stage
+  * codegen — the properties that keep the 100 TB plan viable. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]").appName("plan-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push down to the parquet scan") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 30.0)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("pip join broadcasts the cell cover, keeps pages un-shuffled") {
+    val pages = graft.synth.Pages.geocoded(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("concat('https://x.example/page/', doc_id) AS url", "doc_id"), 6)
+    val polys = Seq(SpatialJoin.Poly(1L, Array(6.2, 43.2, 6.8, 43.2, 6.5, 43.8)))
+    val joined = SpatialJoin.pipJoin(pages, polys, 6)
+    val p = plan(joined)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("gate queries keep whole-stage codegen on the hot path") {
+    val q = Queries.all.find(_.name == "q01_pricing_agg").get
+    val df = q.impl(spark, dir)
+    df.collect() // finalize this exact adaptive plan before inspecting it
+    val p = plan(df)
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in the tree
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum"), p) // map-side combine before the shuffle
+  }
+
+  test("extensions expose the custom functions in SQL") {
+    assert(spark.sql("SELECT splitmix64(42)").collect()(0).getLong(0) ==
+      graft.synth.Pages.mix(42L))
+    assert(spark.sql("SELECT size(shingle_hashes_4('abcdef'))").collect()(0).getInt(0) == 3)
+    assert(spark.sql("SELECT pip_contains_col(0.5D, 0.5D, array(0D,0D,1D,0D,1D,1D,0D,1D))")
+      .collect()(0).getBoolean(0))
+    assert(spark.sql("SELECT wrap_extract('a<b&c', 'u')").collect()(0).getString(0) == "a<b&c")
+  }
+
+  test("splitmix64 codegen matches interpreted eval") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).selectExpr("id", "splitmix64(id) AS h")
+    val rows = df.as[(Long, Long)].collect()
+    rows.foreach { case (id, h) => assert(h == graft.synth.Pages.mix(id)) }
+  }
+}
