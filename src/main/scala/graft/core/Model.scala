@@ -75,6 +75,7 @@ final case class JobConfig(
     minCont: Option[Int] = None,
     maxCont: Option[Int] = None,
     voidMax: Int = -0x8000,
+    smoothRatio: Double = 1.0,
     startNodeId: Long = 10000000L,
     startWayId: Long = 10000000L,
     lineCatsMajor: Int = 200,

@@ -547,10 +547,41 @@ object Queries {
            |FROM events GROUP BY 1, 2 HAVING count(*) >= 3
            |ORDER BY event_type, hour_epoch""".stripMargin))
 
+  private val qIvf = Q(
+    "q33_ann_ivf",
+    (s, dir) => {
+      // IVF at full probe must equal exact search — verified against the
+      // independent brute-force SQL oracle
+      val vectors = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val centroids = Ann.trainCentroids(vectors, k = 8, iters = 2)
+      val index = Ann.assign(vectors, centroids)
+      val queries = vectors.filter(col("vec_id").isin(5L, 6L, 7L))
+        .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
+      val raw = Ann.ivfTopK(index, centroids, queries, k = 500000, nprobe = 8)
+      // re-rank on rounded cosine for cross-engine determinism (as q31)
+      val w = Window.partitionBy("q_id").orderBy(col("r_cos").desc, col("vec_id").asc)
+      raw.select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("r_cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""WITH dims AS (SELECT vec_id, i, x FROM ($embDimsSql)),
+            | sims AS (
+            |  SELECT q.vec_id AS q_id, d.vec_id AS vec_id,
+            |   round(sum(q.x * d.x) / (sqrt(sum(q.x * q.x)) * sqrt(sum(d.x * d.x))), 6) AS r_cos
+            |  FROM dims q JOIN dims d ON q.i = d.i
+            |  WHERE q.vec_id IN (5, 6, 7)
+            |  GROUP BY 1, 2)
+            |SELECT q_id, vec_id, r_cos, rank FROM (
+            | SELECT q_id, vec_id, r_cos,
+            |  row_number() OVER (PARTITION BY q_id ORDER BY r_cos DESC, vec_id ASC) AS rank
+            | FROM sims) WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qPricing, qNationRevenue, qTopOrders, qRollup, qSessions, qEventHours,
     qGeoCell, qGeoPip, qGeoKnn, qGeoTiles, qGeoBands,
     qDedupExact, qMinhash, qNearDup, qSimhash, qTextStats, qNgrams,
     qRoundtrip, qStreamHourly, qStreamSessions,
-    qEmbStats, qAnn, qCentroids)
+    qEmbStats, qAnn, qCentroids, qIvf)
 }

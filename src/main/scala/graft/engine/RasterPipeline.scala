@@ -62,7 +62,8 @@ object RasterPipeline {
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val key = path.split('/').last.replaceAll("\\.hgt$", "")
-        val grid = Hgt.decode(bytes, cfg.voidMax)
+        val raw = Hgt.decode(bytes, cfg.voidMax)
+        val grid = if (cfg.smoothRatio != 1.0) Resample.zoom(raw, cfg.smoothRatio) else raw
         val bbox = Hgt.parseHgtFilename(path)
         val lonInc = 1.0 / (grid.cols - 1)
         val latInc = 1.0 / (grid.rows - 1)
@@ -77,13 +78,14 @@ object RasterPipeline {
 
   /** Executor-side grid materialization for a spec (decode cached per task
     * so consecutive tiles of the same file decode once). */
-  private final class GridCache(voidMax: Int) {
+  private final class GridCache(voidMax: Int, smoothRatio: Double = 1.0) {
     private var cachedPath: String = null
     private var cachedGrid: Grid = null
     def grid(path: String): Grid = {
       if (path != cachedPath) {
         val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(localPath(path)))
-        cachedGrid = Hgt.decode(bytes, voidMax)
+        val raw = Hgt.decode(bytes, voidMax)
+        cachedGrid = if (smoothRatio != 1.0) Resample.zoom(raw, smoothRatio) else raw
         cachedPath = path
       }
       cachedGrid
@@ -97,12 +99,13 @@ object RasterPipeline {
     import spark.implicits._
     val parts = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
     val voidMax = cfg.voidMax
+    val smoothRatio = cfg.smoothRatio
     tilesDs
       .repartitionByRange(parts, col("key"), col("tileIdx"))
       .sortWithinPartitions("path", "tileIdx") // group same-file tiles -> one decode
       .mapPartitions { it =>
         val scratch = new Scratch
-        val cache = new GridCache(voidMax)
+        val cache = new GridCache(voidMax, smoothRatio)
         it.flatMap { tr =>
           val g = cache.grid(tr.path)
           val gv = new GridView(g.values, g.mask, tr.rowOff * tr.fullCols + tr.colOff, tr.fullCols, tr.rows, tr.cols)
@@ -268,5 +271,45 @@ object RasterPipeline {
     } finally {
       cs.unpersist(); tilesAll.unpersist()
     }
+  }
+
+  /** Debug XYZ dump: "lon lat height" per grid point per tile (reference
+    * HgtTile.plotData, pyhgtmap/hgt/tile.py:168-184). */
+  def writeXyz(tilesDs: Dataset[DemTileRow], outDir: String, cfg: JobConfig): Seq[String] = {
+    val spark = tilesDs.sparkSession
+    import spark.implicits._
+    new java.io.File(outDir).mkdirs()
+    val voidMax = cfg.voidMax
+    val smoothRatio = cfg.smoothRatio
+    val files = tilesDs
+      .repartitionByRange(col("key"), col("tileIdx"))
+      .sortWithinPartitions("path", "tileIdx")
+      .mapPartitions { it =>
+        val cache = new GridCache(voidMax, smoothRatio)
+        it.map { tr =>
+          val g = cache.grid(tr.path)
+          val name = graft.sinks.TileSink.fileName(
+            BBox(tr.minLon, tr.minLat, tr.maxLon, tr.maxLat), tr.key, graft.sinks.TileSink.XyzFormat)
+          val path = s"$outDir/$name"
+          val w = new java.io.BufferedWriter(new java.io.FileWriter(path), 1 << 20)
+          try {
+            var r = 0
+            while (r < tr.rows) {
+              val lat = tr.maxLat - r * tr.latInc
+              var c = 0
+              while (c < tr.cols) {
+                val lon = tr.minLon + c * tr.lonInc
+                val z = g.values((tr.rowOff + r) * tr.fullCols + tr.colOff + c).toInt
+                w.write(f"$lon%.7f $lat%.7f $z%d\n")
+                c += 1
+              }
+              r += 1
+            }
+          } finally w.close()
+          path
+        }
+      }
+      .collect()
+    files.toSeq.sorted
   }
 }
