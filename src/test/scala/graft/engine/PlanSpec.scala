@@ -9,11 +9,17 @@ import org.apache.spark.sql.functions._
   * codegen — the properties that keep the 100 TB plan viable. */
 class PlanSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]").appName("plan-spec")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.extensions", "graft.GraftExtensions")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  private lazy val spark = {
+    // other suites may have built a session already; extensions apply at
+    // session construction, so force a fresh one over the shared context
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]").appName("plan-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.ui.enabled", "false").getOrCreate()
+  }
 
   private val dir = "/root/testdata/sf0.001"
 
