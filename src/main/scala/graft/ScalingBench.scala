@@ -124,7 +124,7 @@ object ScalingBench {
     val proc = pb.start()
     val lines = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toSeq
     proc.waitFor()
-    lines.filter(!_.startsWith("RESULT")).takeRight(5).foreach(l => System.err.println(s"[child:$cores] $l"))
+    lines.filter(l => l.contains("[scaling:")).foreach(l => System.err.println(s"[child] $l"))
     val r = lines.find(_.startsWith("RESULT"))
       .getOrElse(throw new RuntimeException(s"child $cores produced no RESULT"))
     val Array(_, c, wall, pages, nodes, joinRows) = r.split(" ")

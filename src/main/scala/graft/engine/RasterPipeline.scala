@@ -100,8 +100,14 @@ object RasterPipeline {
     val parts = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
     val voidMax = cfg.voidMax
     val smoothRatio = cfg.smoothRatio
+    // explicit range-partitioned shuffle with a deterministic hash salt as
+    // the leading key: per-tile trace cost is spatially correlated (all-sea
+    // vs all-mountain neighbours), so pure (key, tileIdx) ranges produce
+    // straggler partitions; the salt spreads hot regions evenly while
+    // keeping assignment fully deterministic for checkpoint/resume
     tilesDs
-      .repartitionByRange(parts, col("key"), col("tileIdx"))
+      .repartitionByRange(parts, pmod(xxhash64(col("key"), col("tileIdx")), lit(1 << 20)),
+        col("key"), col("tileIdx"))
       .sortWithinPartitions("path", "tileIdx") // group same-file tiles -> one decode
       .mapPartitions { it =>
         val scratch = new Scratch

@@ -114,7 +114,8 @@ object Pages {
   def geocoded(pages: DataFrame, res: Int): DataFrame = {
     graft.functions.SplitMix64.register(pages.sparkSession)
     // id recovered from the url tail: deterministic, survives re-reads
-    val id = regexp_extract(col("url"), "/page/(\\d+)$", 1).cast("long")
+    // (substring_index beats a regex by ~an order of magnitude per row)
+    val id = substring_index(col("url"), "/", -1).cast("long")
     pages
       .withColumn("page_id", id)
       .withColumn("lon", lonCol(col("page_id")))
