@@ -21,6 +21,7 @@ object PipelineCli {
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     var cfg = JobConfig(rdpEpsilon = None)
     var cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    var format = graft.sinks.TileSink.OsmXmlFormat
     var i = 1
     while (i < args.length) {
       args(i) match {
@@ -30,6 +31,9 @@ object PipelineCli {
         case "--max-nodes-per-way" => cfg = cfg.copy(maxNodesPerWay = args(i + 1).toInt); i += 2
         case "--rdp" => cfg = cfg.copy(rdpEpsilon = Some(args(i + 1).toDouble)); i += 2
         case "--cores" => cores = args(i + 1); i += 2
+        case "--pbf" => format = graft.sinks.TileSink.PbfFormat; i += 1
+        case "--o5m" => format = graft.sinks.TileSink.O5mFormat; i += 1
+        case "--smooth" => cfg = cfg.copy(smoothRatio = args(i + 1).toDouble); i += 2
         case f if !f.startsWith("--") => files += f; i += 1
         case other => System.err.println(s"unknown option: $other"); sys.exit(2)
       }
@@ -43,7 +47,7 @@ object PipelineCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val report = RasterPipeline.runResumable(spark, files.toSeq, outDir, cfg)
+    val report = RasterPipeline.runResumable(spark, files.toSeq, outDir, cfg, format)
     val secs = (System.nanoTime() - t0) / 1e9
     report.files.foreach(println)
     println(f"tiles: ${report.tilesTotal} total, ${report.tilesSkipped} skipped (committed), " +

@@ -235,7 +235,8 @@ object RasterPipeline {
     * run emits byte-identical files to a fresh one. Also appends a metrics
     * table (per-tile rows) and a lineage table (input -> tile -> file)
     * under outDir/_meta. */
-  def runResumable(spark: SparkSession, paths: Seq[String], outDir: String, cfg: JobConfig): RunReport = {
+  def runResumable(spark: SparkSession, paths: Seq[String], outDir: String, cfg: JobConfig,
+      format: String = graft.sinks.TileSink.OsmXmlFormat): RunReport = {
     import spark.implicits._
     new java.io.File(outDir).mkdirs()
     val committed = Checkpoint.readCommits(outDir)
@@ -264,7 +265,7 @@ object RasterPipeline {
         wayId += waysN
         k -> off
       }.toMap
-      val files = writeOsmXml(cs, offsets, outDir, cfg, commit = true)
+      val files = writeOsmXml(cs, offsets, outDir, cfg, commit = true, format = format)
       // metrics + lineage tables
       val after = Checkpoint.readCommits(outDir)
       if (after.nonEmpty) {
