@@ -157,16 +157,25 @@ object RasterPipeline {
       cfg: JobConfig,
       singleFileName: Option[String] = None,
       commit: Boolean = false,
-      format: String = graft.sinks.TileSink.OsmXmlFormat): Seq[String] = {
+      format: String = graft.sinks.TileSink.OsmXmlFormat,
+      singleBBox: Option[BBox] = None): Seq[String] = {
     val spark = contoursDs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(offsets)
     val major = cfg.lineCatsMajor
     val medium = cfg.lineCatsMedium
     val single = singleFileName
-    val files = contoursDs
-      .repartition(col("key"), col("tileIdx"))
-      .sortWithinPartitions("key", "tileIdx", "elevation", "pathIdx")
+    // single-output mode (reference processor.py:273-336): one file over
+    // the global bbox, ALL nodes before ALL ways, tiles serialized through
+    // one partition (parallelization disabled, as in the reference)
+    val arranged =
+      if (single.isDefined)
+        contoursDs.coalesce(1).sortWithinPartitions("key", "tileIdx", "elevation", "pathIdx")
+      else
+        contoursDs
+          .repartition(col("key"), col("tileIdx"))
+          .sortWithinPartitions("key", "tileIdx", "elevation", "pathIdx")
+    val files = arranged
       .mapPartitions { it =>
         val classifier: Long => String = e => Levels.elevClassifier(major, medium)(e.toInt)
         var curKey: (String, Int) = null
@@ -174,14 +183,14 @@ object RasterPipeline {
         var nodeId = 0L
         var nodeStart = 0L
         var ways = scala.collection.mutable.ArrayBuffer.empty[PreparedWay]
-        var wayStart = 0L
+        var wayStart = Long.MinValue
         var fileName: String = null
         var t0 = 0L
         val written = scala.collection.mutable.ArrayBuffer.empty[String]
         def close(): Unit = if (writer != null) {
           writer.finish(ways.toSeq, wayStart, classifier)
           written += fileName
-          if (commit) Checkpoint.writeCommit(outDir, Checkpoint.Commit(
+          if (commit && single.isEmpty) Checkpoint.writeCommit(outDir, Checkpoint.Commit(
             curKey._1, curKey._2, nodeId - nodeStart, ways.size.toLong, fileName,
             (System.nanoTime() - t0) / 1000000L))
           writer = null
@@ -190,17 +199,33 @@ object RasterPipeline {
         val out = it.flatMap { row =>
           val k = (row.key, row.tileIdx)
           if (k != curKey) {
-            close()
+            if (single.isEmpty) {
+              close()
+              val off = bc.value(k)
+              nodeId = off.nodeStart
+              nodeStart = off.nodeStart
+              wayStart = off.wayStart
+              t0 = System.nanoTime()
+              val bbox = BBox(row.minLon, row.minLat, row.maxLon, row.maxLat)
+              fileName = s"$outDir/${graft.sinks.TileSink.fileName(bbox, row.key, format)}"
+              writer = graft.sinks.TileSink.open(fileName, bbox, format)
+            } else {
+              // one writer for the whole run: global bbox = union of tiles
+              val off = bc.value(k)
+              if (writer == null) {
+                nodeId = off.nodeStart
+                nodeStart = off.nodeStart
+                t0 = System.nanoTime()
+                fileName = s"$outDir/${single.get}"
+                val globalBBox = singleBBox.getOrElse(
+                  BBox(row.minLon, row.minLat, row.maxLon, row.maxLat))
+                writer = graft.sinks.TileSink.open(fileName, globalBBox, format)
+              }
+              require(nodeId == off.nodeStart,
+                s"single-output tiles must arrive in id order: at $k expected ${off.nodeStart}, have $nodeId")
+              if (wayStart == Long.MinValue) wayStart = off.wayStart
+            }
             curKey = k
-            t0 = System.nanoTime()
-            val off = bc.value(k)
-            nodeId = off.nodeStart
-            nodeStart = off.nodeStart
-            wayStart = off.wayStart
-            val bbox = BBox(row.minLon, row.minLat, row.maxLon, row.maxLat)
-            val name = single.getOrElse(graft.sinks.TileSink.fileName(bbox, row.key, format))
-            fileName = s"$outDir/$name"
-            writer = graft.sinks.TileSink.open(fileName, bbox, format)
           }
           val (next, way) = writer.writePath(row.coords, nodeId, row.elevation.toLong)
           nodeId = next
