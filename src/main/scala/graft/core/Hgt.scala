@@ -8,6 +8,20 @@ package graft.core
   */
 object Hgt {
 
+  /** meters -> feet scale (reference pyhgtmap/hgt/tile.py:19). */
+  val Meters2Feet: Double = 1.0 / 0.3048
+
+  /** Scale all valid values meters->feet (reference file.py:484-485). */
+  def toFeet(g: Grid): Grid = {
+    val out = new Array[Float](g.values.length)
+    var i = 0
+    while (i < g.values.length) {
+      out(i) = (g.values(i) * Meters2Feet).toFloat
+      i += 1
+    }
+    Grid(g.rows, g.cols, out, g.mask)
+  }
+
   /** Parse `[N|S]YY[E|W]XXX.hgt` into the 1x1 degree bbox.
     * Reference: pyhgtmap/hgt/file.py:92-129. */
   def parseHgtFilename(filename: String, corrx: Double = 0.0, corry: Double = 0.0): BBox = {

@@ -76,6 +76,7 @@ final case class JobConfig(
     maxCont: Option[Int] = None,
     voidMax: Int = -0x8000,
     smoothRatio: Double = 1.0,
+    feetSteps: Boolean = false, // elevations scaled meters->feet at decode
     startNodeId: Long = 10000000L,
     startWayId: Long = 10000000L,
     lineCatsMajor: Int = 200,

@@ -63,7 +63,8 @@ object RasterPipeline {
       .flatMap { case (path, bytes) =>
         val key = path.split('/').last.replaceAll("\\.hgt$", "")
         val raw = Hgt.decode(bytes, cfg.voidMax)
-        val grid = if (cfg.smoothRatio != 1.0) Resample.zoom(raw, cfg.smoothRatio) else raw
+        val zoomed = if (cfg.smoothRatio != 1.0) Resample.zoom(raw, cfg.smoothRatio) else raw
+        val grid = if (cfg.feetSteps) Hgt.toFeet(zoomed) else zoomed
         val bbox = Hgt.parseHgtFilename(path)
         val lonInc = 1.0 / (grid.cols - 1)
         val latInc = 1.0 / (grid.rows - 1)
@@ -78,14 +79,15 @@ object RasterPipeline {
 
   /** Executor-side grid materialization for a spec (decode cached per task
     * so consecutive tiles of the same file decode once). */
-  private final class GridCache(voidMax: Int, smoothRatio: Double = 1.0) {
+  private final class GridCache(voidMax: Int, smoothRatio: Double = 1.0, feetSteps: Boolean = false) {
     private var cachedPath: String = null
     private var cachedGrid: Grid = null
     def grid(path: String): Grid = {
       if (path != cachedPath) {
         val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(localPath(path)))
         val raw = Hgt.decode(bytes, voidMax)
-        cachedGrid = if (smoothRatio != 1.0) Resample.zoom(raw, smoothRatio) else raw
+        val zoomed = if (smoothRatio != 1.0) Resample.zoom(raw, smoothRatio) else raw
+        cachedGrid = if (feetSteps) Hgt.toFeet(zoomed) else zoomed
         cachedPath = path
       }
       cachedGrid
@@ -100,6 +102,7 @@ object RasterPipeline {
     val parts = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
     val voidMax = cfg.voidMax
     val smoothRatio = cfg.smoothRatio
+    val feetSteps = cfg.feetSteps
     // explicit range-partitioned shuffle with a deterministic hash salt as
     // the leading key: per-tile trace cost is spatially correlated (all-sea
     // vs all-mountain neighbours), so pure (key, tileIdx) ranges produce
@@ -111,7 +114,7 @@ object RasterPipeline {
       .sortWithinPartitions("path", "tileIdx") // group same-file tiles -> one decode
       .mapPartitions { it =>
         val scratch = new Scratch
-        val cache = new GridCache(voidMax, smoothRatio)
+        val cache = new GridCache(voidMax, smoothRatio, feetSteps)
         it.flatMap { tr =>
           val g = cache.grid(tr.path)
           val gv = new GridView(g.values, g.mask, tr.rowOff * tr.fullCols + tr.colOff, tr.fullCols, tr.rows, tr.cols)
