@@ -77,20 +77,29 @@ object RasterPipeline {
       }
   }
 
-  /** Executor-side grid materialization for a spec (decode cached per task
-    * so consecutive tiles of the same file decode once). */
-  private final class GridCache(voidMax: Int, smoothRatio: Double = 1.0, feetSteps: Boolean = false) {
-    private var cachedPath: String = null
-    private var cachedGrid: Grid = null
-    def grid(path: String): Grid = {
-      if (path != cachedPath) {
-        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(localPath(path)))
-        val raw = Hgt.decode(bytes, voidMax)
-        val zoomed = if (smoothRatio != 1.0) Resample.zoom(raw, smoothRatio) else raw
-        cachedGrid = if (feetSteps) Hgt.toFeet(zoomed) else zoomed
-        cachedPath = path
+  /** Executor-global decoded-grid cache: every task in the executor JVM
+    * shares it, so each source file is read+decoded once per executor even
+    * when salted partitioning interleaves files across tasks (the re-read
+    * storm otherwise costs more than the trace at high parallelism).
+    * Bounded LRU; entries are immutable Grids so sharing is safe. */
+  private object GridCache {
+    private val MaxEntries = sys.env.getOrElse("SPARK_GRAFT_GRID_CACHE", "64").toInt
+    private val cache = new java.util.LinkedHashMap[String, Grid](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Grid]): Boolean =
+        size() > MaxEntries
+    }
+    def grid(path: String, voidMax: Int, smoothRatio: Double, feetSteps: Boolean): Grid = {
+      val key = s"$path|$voidMax|$smoothRatio|$feetSteps"
+      cache.synchronized {
+        val hit = cache.get(key)
+        if (hit != null) return hit
       }
-      cachedGrid
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(localPath(path)))
+      val raw = Hgt.decode(bytes, voidMax)
+      val zoomed = if (smoothRatio != 1.0) Resample.zoom(raw, smoothRatio) else raw
+      val g = if (feetSteps) Hgt.toFeet(zoomed) else zoomed
+      cache.synchronized { cache.put(key, g) }
+      g
     }
   }
 
@@ -114,9 +123,8 @@ object RasterPipeline {
       .sortWithinPartitions("path", "tileIdx") // group same-file tiles -> one decode
       .mapPartitions { it =>
         val scratch = new Scratch
-        val cache = new GridCache(voidMax, smoothRatio, feetSteps)
         it.flatMap { tr =>
-          val g = cache.grid(tr.path)
+          val g = GridCache.grid(tr.path, voidMax, smoothRatio, feetSteps)
           val gv = new GridView(g.values, g.mask, tr.rowOff * tr.fullCols + tr.colOff, tr.fullCols, tr.rows, tr.cols)
           val bbox = BBox(tr.minLon, tr.minLat, tr.maxLon, tr.maxLat)
           val tc = ContourGen.tileContours(gv, bbox, tr.lonInc, tr.latInc, cfg, scratch)
@@ -320,9 +328,8 @@ object RasterPipeline {
       .repartitionByRange(col("key"), col("tileIdx"))
       .sortWithinPartitions("path", "tileIdx")
       .mapPartitions { it =>
-        val cache = new GridCache(voidMax, smoothRatio)
         it.map { tr =>
-          val g = cache.grid(tr.path)
+          val g = GridCache.grid(tr.path, voidMax, smoothRatio, false)
           val name = graft.sinks.TileSink.fileName(
             BBox(tr.minLon, tr.minLat, tr.maxLon, tr.maxLat), tr.key, graft.sinks.TileSink.XyzFormat)
           val path = s"$outDir/$name"
