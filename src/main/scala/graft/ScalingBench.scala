@@ -45,9 +45,14 @@ object ScalingBench {
       val contours = RasterPipeline.contours(tiles, cfg, parts)
       val nodes = contours.agg(sum("nbNodes")).collect()(0).getLong(0)
       val t1 = lap("trace", t0)
-      // polygon side: a cheap coarse-step trace yields the join polygons
+      // polygon side: a cheap coarse-step trace yields the join polygons.
+      // Restrict the pick to the tiles the pages are geocoded into
+      // (lon 6..7, lat 43..44 — synth/Pages.scala) so the PIP join is
+      // actually exercised: with polygons from other tiles the cell-cover
+      // prejoin prunes everything and the "join" phase measures nothing.
       val cfgCoarse = cfg.copy(contourStepSize = 200)
       val polys = RasterPipeline.contours(tiles, cfgCoarse, parts)
+        .filter(col("key").isin("N43E006", "N43E007"))
         .filter(col("closed") && size(col("coords")) <= 400)
         .orderBy("key", "tileIdx", "elevation", "pathIdx") // deterministic pick
         .limit(500)
@@ -63,6 +68,11 @@ object ScalingBench {
       val pages = Pages.geocoded(pagesRaw, res)
       val joined = SpatialJoin.pipJoin(pages, polys, res)
       val joinRows = joined.count()
+      require(joinRows > 0, s"vacuous bench: PIP join produced 0 rows (${polys.size} polys)")
+      // exercise the salted skew variant against the deliberate hot cluster
+      // too (synth/Pages.scala concentrates mass at (6.25, 43.25))
+      val saltedRows = SpatialJoin.pipJoinSalted(pages, polys, res, salts = cores).count()
+      require(saltedRows == joinRows, s"salted join mismatch: $saltedRows vs $joinRows")
       lap("pages+join", t2)
       val wall = (System.nanoTime() - t0) / 1e9
       contours.unpersist()

@@ -29,6 +29,30 @@ object Ann {
   private def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
+  /** Centroids as a literal array<struct<cluster:int, centroid:array<double>>>
+    * column — the "broadcast" is a plan literal, so the nearest-centroid
+    * argmin below runs entirely inside project/codegen with NO exchange.
+    * (k ≤ a few thousand × dim ≤ a few hundred keeps the literal tiny.) */
+  private def centroidLit(centroids: Seq[(Int, Array[Double])]): org.apache.spark.sql.Column =
+    array(centroids.map { case (c, arr) =>
+      struct(lit(c).as("cluster"), typedLit(arr.toSeq).as("centroid"))
+    }: _*)
+
+  /** Shuffle-free argmin over the centroid literal: fold the candidate array
+    * keeping the (cluster, d) with the smallest distance; strict `<` with
+    * in-cluster-order iteration reproduces the old (d ASC, cluster ASC)
+    * window tie-break exactly. Replaces a crossJoin×k + per-vec_id window
+    * sort-shuffle — two wide exchanges per Lloyd iteration at 10^9 vectors. */
+  private def nearestCluster(vec: org.apache.spark.sql.Column, cands: org.apache.spark.sql.Column) =
+    aggregate(
+      cands,
+      struct(lit(-1).as("cluster"), lit(Double.MaxValue).as("d")),
+      (acc, cand) => {
+        val d = sqDist(vec, cand.getField("centroid"))
+        when(d < acc.getField("d"),
+          struct(cand.getField("cluster").as("cluster"), d.as("d"))).otherwise(acc)
+      })
+
   /** Exact brute-force cosine top-k: (q_id, rank, vec_id, cos). */
   def bruteTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val v = vectors.select(col("vec_id"), col("vec"))
@@ -53,12 +77,8 @@ object Ann {
       .map { case (r, i) => (i, r.getAs[Seq[Double]]("vec").toArray) }
       .toSeq
     (1 to iters).foreach { _ =>
-      val cdf = broadcast(centroids.toDF("cluster", "centroid"))
-      val assigned = vectors.crossJoin(cdf)
-        .withColumn("d", sqDist(col("vec"), col("centroid")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("d").asc, col("cluster").asc)))
-        .filter(col("rn") === 1)
+      val assigned = vectors
+        .withColumn("cluster", nearestCluster(col("vec"), centroidLit(centroids)).getField("cluster"))
       val dims = assigned
         .select(col("cluster"), posexplode(col("vec")).as(Seq("i", "x")))
         .groupBy("cluster", "i").agg(avg("x").as("cx"))
@@ -77,18 +97,12 @@ object Ann {
     centroids
   }
 
-  /** Assign vectors to their nearest centroid: (cluster, vec_id, vec). */
-  def assign(vectors: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    val cdf = broadcast(centroids.toDF("cluster", "centroid"))
-    vectors.crossJoin(cdf)
-      .withColumn("d", sqDist(col("vec"), col("centroid")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d").asc, col("cluster").asc)))
-      .filter(col("rn") === 1)
+  /** Assign vectors to their nearest centroid: (cluster, vec_id, vec).
+    * Pure narrow projection — no join, no window, no exchange. */
+  def assign(vectors: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame =
+    vectors
+      .withColumn("cluster", nearestCluster(col("vec"), centroidLit(centroids)).getField("cluster"))
       .select("cluster", "vec_id", "vec")
-  }
 
   /** IVF query: probe the nprobe nearest clusters per query, exact cosine
     * within the probed candidate set. */
@@ -98,14 +112,16 @@ object Ann {
       queries: DataFrame, // (q_id, qvec)
       k: Int,
       nprobe: Int): DataFrame = {
-    val spark = index.sparkSession
-    import spark.implicits._
-    val cdf = broadcast(centroids.toDF("cluster", "centroid"))
-    val probes = queries.crossJoin(cdf)
-      .withColumn("d", sqDist(col("qvec"), col("centroid")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("d").asc, col("cluster").asc)))
-      .filter(col("rn") <= nprobe)
+    // probe selection runs as a narrow array expression per query row:
+    // distance to every centroid, array_sort on (d, cluster) — the same
+    // tie-break as the old window — then slice the first nprobe.
+    val sorted = array_sort(transform(
+      centroidLit(centroids),
+      c => struct(sqDist(col("qvec"), c.getField("centroid")).as("d"),
+        c.getField("cluster").as("cluster"))))
+    val probeClusters = transform(slice(sorted, 1, nprobe), s => s.getField("cluster"))
+    val probes = queries
+      .withColumn("cluster", explode(probeClusters))
       .select("q_id", "qvec", "cluster")
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
     index.join(broadcast(probes), Seq("cluster"))

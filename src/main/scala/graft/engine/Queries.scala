@@ -153,11 +153,17 @@ object Queries {
   private val qDedupExact = Q(
     "q20_dedup_exact",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val w = Window.partitionBy("text")
-      docs
-        .withColumn("canonical_id", min("doc_id").over(w))
-        .withColumn("n_copies", count(lit(1)).over(w))
+      // 100 TB-scale shape: never ship raw document bodies through an
+      // exchange. Group on a 256-bit content hash (collision probability
+      // negligible vs corpus size), aggregate, and join the tiny group
+      // table back on the hash. No `text` column appears in any shuffle key.
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"), xxhash64(col("text")).as("tk64"), sha2(col("text"), 256).as("tkey"))
+      val groups = keyed
+        .groupBy("tk64", "tkey")
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      keyed
+        .join(groups, Seq("tk64", "tkey"))
         .select("doc_id", "canonical_id", "n_copies")
         .orderBy("doc_id")
     },
@@ -266,7 +272,7 @@ object Queries {
         .agg(sum("bitval").as("simhash"))
         .orderBy("doc_id")
     },
-    Some(s"""SELECT doc_id, sum(bitval) AS simhash FROM (
+    Some(s"""SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash FROM (
             | SELECT doc_id, b, CASE WHEN sum(w) > 0 THEN (1::BIGINT << b) ELSE 0 END AS bitval
             | FROM (SELECT doc_id, h, b,
             |        CASE WHEN (h // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END AS w
@@ -349,7 +355,7 @@ object Queries {
   private val qStreamSessions = Q(
     "q41_stream_sessions",
     (s, dir) => Streaming.sessionizeStream(s, s"$dir/events.parquet"),
-    Some("""SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    Some("""SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
            |FROM (SELECT user_id,
            |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
            |   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) > 1800
@@ -524,7 +530,7 @@ object Queries {
           round(sum("value"), 4).as("total_value"))
         .orderBy("user_id")
     },
-    Some("""SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events,
+    Some("""SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events,
            | round(sum(value), 4) AS total_value
            |FROM (SELECT user_id, value,
            |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
