@@ -10,7 +10,8 @@ import graft.engine.RasterPipeline
   *
   * Usage: PipelineCli <out-dir> <file.hgt>... [--step N] [--area A]
   *        [--max-nodes-per-tile N] [--max-nodes-per-way N] [--rdp EPS]
-  *        [--cores N]
+  *        [--cores N] [--pbf|--o5m|--gzip] [--osm-version V]
+  *        [--write-timestamp EPOCH] [--smooth R]
   */
 object PipelineCli {
   def main(args: Array[String]): Unit = {
@@ -33,6 +34,10 @@ object PipelineCli {
         case "--cores" => cores = args(i + 1); i += 2
         case "--pbf" => format = graft.sinks.TileSink.PbfFormat; i += 1
         case "--o5m" => format = graft.sinks.TileSink.O5mFormat; i += 1
+        case "--gzip" => format = graft.sinks.TileSink.OsmGzFormat; i += 1
+        case "--osm-version" => cfg = cfg.copy(osmVersion = args(i + 1).toDouble); i += 2
+        case "--write-timestamp" => // epoch seconds (deterministic, injectable)
+          cfg = cfg.copy(writeTimestamp = Some(args(i + 1).toLong)); i += 2
         case "--smooth" => cfg = cfg.copy(smoothRatio = args(i + 1).toDouble); i += 2
         case f if !f.startsWith("--") => files += f; i += 1
         case other => System.err.println(s"unknown option: $other"); sys.exit(2)

@@ -1,0 +1,82 @@
+package graft.core
+
+import java.io.{InputStream, OutputStream}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** All executor/driver file I/O goes through the Hadoop FileSystem API so
+  * the pipeline behaves identically on local-FS (tests, local[N]) and on a
+  * real cluster filesystem (HDFS, S3A, GCS): grid reads, tile sink writes,
+  * and the checkpoint commit log all resolve their FileSystem from the
+  * path's scheme. Plain paths (no scheme) resolve to the default FS, which
+  * in local mode is file://. */
+object Fs {
+
+  private def conf = new Configuration()
+
+  def fs(path: String): FileSystem = {
+    val f = new Path(path).getFileSystem(conf)
+    // no .crc sidecar mirroring: sink outputs are consumer-facing files
+    // (osmium etc.), and the commit log relies on exact directory listings
+    f.setWriteChecksum(false)
+    f.setVerifyChecksum(false)
+    f
+  }
+
+  def create(path: String): OutputStream = fs(path).create(new Path(path), true)
+
+  def open(path: String): InputStream = fs(path).open(new Path(path))
+
+  def readAllBytes(path: String): Array[Byte] = {
+    val p = new Path(path)
+    val f = fs(path)
+    val len = f.getFileStatus(p).getLen
+    require(len <= Int.MaxValue, s"$path too large to buffer: $len bytes")
+    val buf = new Array[Byte](len.toInt)
+    val in = f.open(p)
+    try in.readFully(0L, buf)
+    finally in.close()
+    buf
+  }
+
+  def readString(path: String): String =
+    new String(readAllBytes(path), java.nio.charset.StandardCharsets.UTF_8)
+
+  def writeString(path: String, s: String): Unit = {
+    val out = create(path)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def mkdirs(path: String): Unit = {
+    val p = new Path(path)
+    fs(path).mkdirs(p)
+  }
+
+  def exists(path: String): Boolean = {
+    val p = new Path(path)
+    fs(path).exists(p)
+  }
+
+  def delete(path: String): Boolean = {
+    val p = new Path(path)
+    fs(path).delete(p, false)
+  }
+
+  /** Atomic-as-the-FS-allows rename (HDFS: atomic; S3A: copy+delete). */
+  def rename(src: String, dst: String): Unit = {
+    val s = new Path(src)
+    val d = new Path(dst)
+    val f = fs(src)
+    f.delete(d, false)
+    if (!f.rename(s, d)) throw new java.io.IOException(s"rename $src -> $dst failed")
+  }
+
+  /** Non-recursive file listing (names only). */
+  def listFiles(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val f = fs(dir)
+    if (!f.exists(p)) return Nil
+    f.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
+  }
+}

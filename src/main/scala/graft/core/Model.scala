@@ -80,4 +80,9 @@ final case class JobConfig(
     startNodeId: Long = 10000000L,
     startWayId: Long = 10000000L,
     lineCatsMajor: Int = 200,
-    lineCatsMedium: Int = 100)
+    lineCatsMedium: Int = 100,
+    osmVersion: Double = 0.6, // reference --osm-version (cli.py:158)
+    // epoch seconds to stamp entities with (reference --write-timestamp,
+    // output/osmUtil.py:59-62); injected rather than wall-clock so output
+    // stays deterministic/resumable
+    writeTimestamp: Option[Long] = None)

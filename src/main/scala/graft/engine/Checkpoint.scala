@@ -1,7 +1,6 @@
 package graft.engine
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import graft.core.Fs
 
 /** Per-partition (= per-tile) commit log + metrics/lineage tables, making
   * the pipeline resumable: a tile whose commit record exists is skipped on
@@ -32,26 +31,28 @@ object Checkpoint {
     case _ => None
   }
 
-  /** Executor-side durable commit: write tmp + atomic rename. */
+  /** Executor-side durable commit: write tmp + rename, via the Hadoop
+    * FileSystem API so executors commit to the shared cluster FS (HDFS
+    * rename is atomic; object stores degrade to copy+delete, still safe
+    * here because each tile has exactly one writer per attempt and the
+    * record content is idempotent). */
   def writeCommit(outDir: String, c: Commit): Unit = {
-    val dir = Paths.get(commitsDir(outDir))
-    Files.createDirectories(dir)
-    val tmp = dir.resolve(s".${c.key}_${c.tileIdx}.tmp")
-    Files.writeString(tmp, fmt(c) + "\n")
-    Files.move(tmp, dir.resolve(s"${c.key}_${c.tileIdx}.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val dir = commitsDir(outDir)
+    Fs.mkdirs(dir)
+    val tmp = s"$dir/.${c.key}_${c.tileIdx}.tmp"
+    Fs.writeString(tmp, fmt(c) + "\n")
+    Fs.rename(tmp, s"$dir/${c.key}_${c.tileIdx}.json")
   }
 
   /** Driver-side: all committed tiles. */
   def readCommits(outDir: String): Seq[Commit] = {
-    val dir = Paths.get(commitsDir(outDir))
-    if (!Files.isDirectory(dir)) return Nil
-    Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".json"))
-      .flatMap(p => parse(Files.readString(p)))
-      .toSeq
+    Fs.listFiles(commitsDir(outDir))
+      .filter(_.endsWith(".json"))
+      .flatMap(p => parse(Fs.readString(p)))
   }
 
-  def deleteCommit(outDir: String, key: String, tileIdx: Int): Boolean =
-    Files.deleteIfExists(Paths.get(commitsDir(outDir), s"${key}_$tileIdx.json"))
+  def deleteCommit(outDir: String, key: String, tileIdx: Int): Boolean = {
+    val p = s"${commitsDir(outDir)}/${key}_$tileIdx.json"
+    Fs.exists(p) && Fs.delete(p)
+  }
 }

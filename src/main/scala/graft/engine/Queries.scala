@@ -584,10 +584,85 @@ object Queries {
             |  row_number() OVER (PARTITION BY q_id ORDER BY r_cos DESC, vec_id ASC) AS rank
             | FROM sims) WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin))
 
+  // --------------------------------------------------------------- raster ---
+  // Driver-visible gates for the flagship raster path (G1-G6): the oracle is
+  // a VALUES table of the REFERENCE's own pinned goldens
+  // (/root/reference/tests/hgt/test_tile.py:66-103, tests/hgt/test_file.py:74-95),
+  // so the driver's DuckDB compare re-checks exact reference parity.
+
+  private val FixtureHgt = "/root/reference/tests/data/N43E006.hgt"
+
+  private val qContourGolden = Q(
+    "q50_contour_golden",
+    (s, dir) => {
+      // reference get_contours() parameters: step 20, no way split, no RDP
+      val cfg = graft.core.JobConfig(
+        contourStepSize = 20, maxNodesPerWay = 0, rdpEpsilon = None, maxNodesPerTile = 0)
+      val cs = RasterPipeline.contours(RasterPipeline.tiles(s, Seq(FixtureHgt), cfg), cfg)
+      cs.agg(
+          sum("nbNodes").as("n_nodes"),
+          count(lit(1)).as("n_ways"),
+          countDistinct("elevation").as("n_levels"),
+          min("elevation").cast("long").as("min_level"),
+          max("elevation").cast("long").as("max_level"),
+          sum(when(col("elevation") === 20, 1L).otherwise(0L)).as("ways_at_20"),
+          sum(when(col("elevation") === 1920, 1L).otherwise(0L)).as("ways_at_1920"))
+        .select(expr(
+          """stack(7,
+            | 'n_nodes', n_nodes, 'n_ways', n_ways, 'n_levels', n_levels,
+            | 'min_level', min_level, 'max_level', max_level,
+            | 'ways_at_20', ways_at_20, 'ways_at_1920', ways_at_1920
+            |) AS (metric, value)""".stripMargin))
+        .orderBy("metric")
+    },
+    Some("""SELECT metric, CAST(value AS BIGINT) AS value FROM (VALUES
+           | ('n_nodes', 1264395), ('n_ways', 10798), ('n_levels', 97),
+           | ('min_level', 0), ('max_level', 1920),
+           | ('ways_at_20', 145), ('ways_at_1920', 1)) AS t(metric, value)
+           |ORDER BY metric""".stripMargin))
+
+  private val qChopGolden = Q(
+    "q51_chop_golden",
+    (s, dir) => {
+      import s.implicits._
+      val cfg = graft.core.JobConfig(contourStepSize = 20, maxNodesPerTile = 500000L)
+      RasterPipeline.tiles(s, Seq(FixtureHgt), cfg)
+        .map { tr =>
+          val p = if (tr.path.startsWith("file:")) new java.net.URI(tr.path).getPath else tr.path
+          val g = graft.core.Hgt.decode(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), cfg.voidMax)
+          val gv = new graft.core.MarchingSquares.GridView(
+            g.values, g.mask, tr.rowOff * tr.fullCols + tr.colOff, tr.fullCols, tr.rows, tr.cols)
+          val (mn, mx) = graft.core.Chop.elevRange(gv)
+          (tr.tileIdx.toLong, tr.rows.toLong, tr.cols.toLong,
+            tr.minLon, tr.minLat, tr.maxLon, tr.maxLat, mn.toLong, mx.toLong)
+        }
+        .toDF("tile_idx", "n_rows", "n_cols", "min_lon", "min_lat", "max_lon", "max_lat",
+          "min_elev", "max_elev")
+        .select(col("tile_idx"), col("n_rows"), col("n_cols"),
+          round(col("min_lon"), 6).as("min_lon"), round(col("min_lat"), 6).as("min_lat"),
+          round(col("max_lon"), 6).as("max_lon"), round(col("max_lat"), 6).as("max_lat"),
+          col("min_elev"), col("max_elev"))
+        .orderBy("tile_idx")
+    },
+    Some("""SELECT CAST(tile_idx AS BIGINT) AS tile_idx, CAST(n_rows AS BIGINT) AS n_rows,
+           | CAST(n_cols AS BIGINT) AS n_cols,
+           | CAST(min_lon AS DOUBLE) AS min_lon, CAST(min_lat AS DOUBLE) AS min_lat,
+           | CAST(max_lon AS DOUBLE) AS max_lon, CAST(max_lat AS DOUBLE) AS max_lat,
+           | CAST(min_elev AS BIGINT) AS min_elev, CAST(max_elev AS BIGINT) AS max_elev
+           |FROM (VALUES
+           | (0, 601, 1201, 6.0, 43.0, 7.0, 43.5, -4, 770),
+           | (1, 301, 1201, 6.0, 43.5, 7.0, 43.75, -12, 1703),
+           | (2, 151, 1201, 6.0, 43.75, 7.0, 43.875, 327, 1908),
+           | (3, 151, 1201, 6.0, 43.875, 7.0, 44.0, 317, 1923))
+           | AS t(tile_idx, n_rows, n_cols, min_lon, min_lat, max_lon, max_lat, min_elev, max_elev)
+           |ORDER BY tile_idx""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qPricing, qNationRevenue, qTopOrders, qRollup, qSessions, qEventHours,
     qGeoCell, qGeoPip, qGeoKnn, qGeoTiles, qGeoBands,
     qDedupExact, qMinhash, qNearDup, qSimhash, qTextStats, qNgrams,
     qRoundtrip, qStreamHourly, qStreamSessions,
-    qEmbStats, qAnn, qCentroids, qIvf)
+    qEmbStats, qAnn, qCentroids, qIvf,
+    qContourGolden, qChopGolden)
 }

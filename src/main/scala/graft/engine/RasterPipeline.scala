@@ -51,9 +51,6 @@ object RasterPipeline {
 
   final case class TileOffsets(nodeStart: Long, wayStart: Long)
 
-  private def localPath(p: String): String =
-    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
-
   /** Scan + decode + chop: one lightweight spec row per tile. */
   def tiles(spark: SparkSession, paths: Seq[String], cfg: JobConfig): Dataset[DemTileRow] = {
     import spark.implicits._
@@ -83,10 +80,18 @@ object RasterPipeline {
     * storm otherwise costs more than the trace at high parallelism).
     * Bounded LRU; entries are immutable Grids so sharing is safe. */
   private object GridCache {
-    private val MaxEntries = sys.env.getOrElse("SPARK_GRAFT_GRID_CACHE", "64").toInt
+    // bounded by estimated BYTES, not entry count: a smoothRatio-zoomed
+    // SRTM1 grid is rows*cols*(2B values + 1B mask + overhead) ~ 5B/cell,
+    // so counting entries could exceed executor heap at high ratios
+    private val MaxBytes = sys.env.getOrElse("SPARK_GRAFT_GRID_CACHE_MB", "2048").toLong << 20
+    private def est(g: Grid): Long = g.rows.toLong * g.cols * 5L
+    private var bytes = 0L
     private val cache = new java.util.LinkedHashMap[String, Grid](64, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, Grid]): Boolean =
-        size() > MaxEntries
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Grid]): Boolean = {
+        val evict = size() > 1 && bytes > MaxBytes
+        if (evict) bytes -= est(e.getValue)
+        evict
+      }
     }
     def grid(path: String, voidMax: Int, smoothRatio: Double, feetSteps: Boolean): Grid = {
       val key = s"$path|$voidMax|$smoothRatio|$feetSteps"
@@ -94,11 +99,16 @@ object RasterPipeline {
         val hit = cache.get(key)
         if (hit != null) return hit
       }
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(localPath(path)))
-      val raw = Hgt.decode(bytes, voidMax)
+      // Hadoop FS read: source rasters live on the cluster FS, not on a
+      // shared POSIX mount; binaryFile scan paths carry their scheme
+      val bytesIn = graft.core.Fs.readAllBytes(path)
+      val raw = Hgt.decode(bytesIn, voidMax)
       val zoomed = if (smoothRatio != 1.0) Resample.zoom(raw, smoothRatio) else raw
       val g = if (feetSteps) Hgt.toFeet(zoomed) else zoomed
-      cache.synchronized { cache.put(key, g) }
+      cache.synchronized {
+        bytes += est(g)
+        cache.put(key, g)
+      }
       g
     }
   }
@@ -175,6 +185,8 @@ object RasterPipeline {
     val bc = spark.sparkContext.broadcast(offsets)
     val major = cfg.lineCatsMajor
     val medium = cfg.lineCatsMedium
+    val osmV = cfg.osmVersion
+    val ts = cfg.writeTimestamp
     val single = singleFileName
     // single-output mode (reference processor.py:273-336): one file over
     // the global bbox, ALL nodes before ALL ways, tiles serialized through
@@ -219,7 +231,7 @@ object RasterPipeline {
               t0 = System.nanoTime()
               val bbox = BBox(row.minLon, row.minLat, row.maxLon, row.maxLat)
               fileName = s"$outDir/${graft.sinks.TileSink.fileName(bbox, row.key, format)}"
-              writer = graft.sinks.TileSink.open(fileName, bbox, format)
+              writer = graft.sinks.TileSink.open(fileName, bbox, format, osmV, ts)
             } else {
               // one writer for the whole run: global bbox = union of tiles
               val off = bc.value(k)
@@ -230,7 +242,7 @@ object RasterPipeline {
                 fileName = s"$outDir/${single.get}"
                 val globalBBox = singleBBox.getOrElse(
                   BBox(row.minLon, row.minLat, row.maxLon, row.maxLat))
-                writer = graft.sinks.TileSink.open(fileName, globalBBox, format)
+                writer = graft.sinks.TileSink.open(fileName, globalBBox, format, osmV, ts)
               }
               require(nodeId == off.nodeStart,
                 s"single-output tiles must arrive in id order: at $k expected ${off.nodeStart}, have $nodeId")
@@ -254,7 +266,7 @@ object RasterPipeline {
 
   /** Convenience end-to-end run. */
   def run(spark: SparkSession, paths: Seq[String], outDir: String, cfg: JobConfig): Seq[String] = {
-    new java.io.File(outDir).mkdirs()
+    graft.core.Fs.mkdirs(outDir)
     val ts = tiles(spark, paths, cfg)
     val cs = contours(ts, cfg).persist()
     try {
@@ -274,7 +286,7 @@ object RasterPipeline {
   def runResumable(spark: SparkSession, paths: Seq[String], outDir: String, cfg: JobConfig,
       format: String = graft.sinks.TileSink.OsmXmlFormat): RunReport = {
     import spark.implicits._
-    new java.io.File(outDir).mkdirs()
+    graft.core.Fs.mkdirs(outDir)
     val committed = Checkpoint.readCommits(outDir)
     val committedKeys = committed.map(c => (c.key, c.tileIdx)).toSet
     val bcCommitted = spark.sparkContext.broadcast(committedKeys)
@@ -321,7 +333,7 @@ object RasterPipeline {
   def writeXyz(tilesDs: Dataset[DemTileRow], outDir: String, cfg: JobConfig): Seq[String] = {
     val spark = tilesDs.sparkSession
     import spark.implicits._
-    new java.io.File(outDir).mkdirs()
+    graft.core.Fs.mkdirs(outDir)
     val voidMax = cfg.voidMax
     val smoothRatio = cfg.smoothRatio
     val files = tilesDs
@@ -333,7 +345,9 @@ object RasterPipeline {
           val name = graft.sinks.TileSink.fileName(
             BBox(tr.minLon, tr.minLat, tr.maxLon, tr.maxLat), tr.key, graft.sinks.TileSink.XyzFormat)
           val path = s"$outDir/$name"
-          val w = new java.io.BufferedWriter(new java.io.FileWriter(path), 1 << 20)
+          val w = new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(graft.core.Fs.create(path),
+              java.nio.charset.StandardCharsets.UTF_8), 1 << 20)
           try {
             var r = 0
             while (r < tr.rows) {

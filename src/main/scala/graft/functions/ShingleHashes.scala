@@ -15,7 +15,15 @@ case class ShingleHashes(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1 && n <= 16)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  private val topPow: Long = math.pow(31.0, (n - 1).toDouble).toLong
+  // wrapping integer power, matching the modular arithmetic of the rolling
+  // recurrence for every allowed n (math.pow is inexact past 31^11 and the
+  // Long product overflows by design, exactly like the additive chain)
+  private val topPow: Long = {
+    var p = 1L
+    var k = 0
+    while (k < n - 1) { p *= 31L; k += 1 }
+    p
+  }
 
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String].toString

@@ -175,6 +175,7 @@ object O5mReader {
     var lastRef = 0L
     var lastLon = 0L
     var lastLat = 0L
+    var lastTs = 0L
     var bbox: Seq[Long] = Nil
     val table = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     val nodes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
@@ -218,9 +219,14 @@ object O5mReader {
       val (version, p1) = Varint.readUnsigned(payload, pos)
       pos = p1
       if (version == 0) return pos
-      val (ts, p2) = Varint.readSigned(payload, pos)
+      // the wire carries a timestamp DELTA; author info follows whenever
+      // the delta-decoded ABSOLUTE timestamp is non-zero (o5m spec). The
+      // writer emits delta 0 on non-first entities after a non-zero first
+      // timestamp, so gating on the raw delta would desync the stream.
+      val (tsDelta, p2) = Varint.readSigned(payload, pos)
       pos = p2
-      if (ts != 0) {
+      lastTs += tsDelta
+      if (lastTs != 0) {
         val (_, p3) = Varint.readSigned(payload, pos) // changeset
         pos = p3
         // uid/user string pair (we only ever write the empty pair)
@@ -241,6 +247,7 @@ object O5mReader {
       (buf(p) & 0xff) match {
         case O5m.Reset =>
           lastNodeId = 0; lastWayId = 0; lastRef = 0; lastLon = 0; lastLat = 0
+          lastTs = 0
           table.clear()
           p += 1
         case O5m.EndOfFile => p = buf.length

@@ -126,26 +126,33 @@ final class PbfWriter(out: OutputStream, bbox: BBox, generator: String = "graft 
   /** Ways with ele/contour tags via the block string table. */
   def writeWays(ways: Iterable[PreparedWay], startWayId: Long, classifier: Long => String): Unit = {
     if (ways.isEmpty) return
-    // string table: index 0 must be empty (dense keys_vals delimiter)
-    val strings = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
-    def sid(s: String): Int = strings.getOrElseUpdate(s, strings.size)
-    val group = new ProtoOut
+    // chunk ways into blocks of <=8000 entities (mirroring the dense-node
+    // chunking): a single merged-output run can hold millions of ways, and
+    // one unchunked PrimitiveBlock would blow the PBF spec's 16/32 MiB
+    // uncompressed blob limit that osmium/osmosis readers enforce. Each
+    // block carries its own string table.
     var wayId = startWayId
-    ways.foreach { w =>
-      val way = new ProtoOut
-      way.int64(1, wayId)
-      val keys = Seq(sid("ele"), sid("contour"), sid("contour_ext"))
-      val vals = Seq(sid(w.elevation.toString), sid("elevation"), sid(classifier(w.elevation)))
-      way.packedUint32(2, keys)
-      way.packedUint32(3, vals)
-      val refs = (w.firstNodeId until (w.firstNodeId + w.nbNodes)) ++
-        (if (w.closed) Seq(w.firstNodeId) else Nil)
-      var last = 0L
-      way.packedSint64(8, refs.map { r => val d = r - last; last = r; d })
-      group.bytes(3, way.toByteArray)
-      wayId += 1
+    ways.grouped(8000).foreach { chunk =>
+      // string table: index 0 must be empty (dense keys_vals delimiter)
+      val strings = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
+      def sid(s: String): Int = strings.getOrElseUpdate(s, strings.size)
+      val group = new ProtoOut
+      chunk.foreach { w =>
+        val way = new ProtoOut
+        way.int64(1, wayId)
+        val keys = Seq(sid("ele"), sid("contour"), sid("contour_ext"))
+        val vals = Seq(sid(w.elevation.toString), sid("elevation"), sid(classifier(w.elevation)))
+        way.packedUint32(2, keys)
+        way.packedUint32(3, vals)
+        val refs = (w.firstNodeId until (w.firstNodeId + w.nbNodes)) ++
+          (if (w.closed) Seq(w.firstNodeId) else Nil)
+        var last = 0L
+        way.packedSint64(8, refs.map { r => val d = r - last; last = r; d })
+        group.bytes(3, way.toByteArray)
+        wayId += 1
+      }
+      writePrimitiveBlock(group.toByteArray, strings.keys.toSeq)
     }
-    writePrimitiveBlock(group.toByteArray, strings.keys.toSeq)
   }
 
   private def writePrimitiveBlock(groupBytes: Array[Byte], strings: Seq[String]): Unit = {

@@ -13,6 +13,7 @@ trait TileSink {
 
 object TileSink {
   val OsmXmlFormat = "osm"
+  val OsmGzFormat = "osm.gz" // reference --gzip (output/factory.py:56-57)
   val O5mFormat = "o5m"
   val PbfFormat = "pbf"
   val XyzFormat = "xyz" // debug triples, reference HgtTile.plotData
@@ -20,6 +21,7 @@ object TileSink {
   def fileName(bbox: BBox, key: String, format: String): String = {
     val base = OsmXml.tileFileName(bbox.minLon, bbox.minLat, bbox.maxLon, bbox.maxLat, suffix = s"_$key")
     format match {
+      case OsmGzFormat => base + ".gz"
       case O5mFormat => base.stripSuffix(".osm") + ".o5m"
       case PbfFormat => base + ".pbf"
       case XyzFormat => base.stripSuffix(".osm") + ".xyz"
@@ -27,12 +29,28 @@ object TileSink {
     }
   }
 
-  def open(path: String, bbox: BBox, format: String): TileSink = {
-    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path), 1 << 20)
+  /** Sinks write through the Hadoop FileSystem API, so tile files land on
+    * whatever shared FS the path's scheme names (local file://, HDFS, object
+    * store) — executors on a real cluster need no shared POSIX mount. */
+  def open(path: String, bbox: BBox, format: String,
+      osmVersion: Double = 0.6, timestamp: Option[Long] = None): TileSink = {
+    val raw = new java.io.BufferedOutputStream(graft.core.Fs.create(path), 1 << 20)
+    // reference timestampString: ` timestamp="<utc iso>"` (osmUtil.py:59-62)
+    val tsAttr = timestamp
+      .map(t => s""" timestamp="${java.time.Instant.ofEpochSecond(t)}"""")
+      .getOrElse("")
     format match {
-      case O5mFormat => new O5mTileSink(out, bbox)
-      case PbfFormat => new PbfTileSink(out, bbox)
-      case _ => new OsmXmlTileSink(out, bbox)
+      case O5mFormat =>
+        new O5mTileSink(raw, bbox, timestamp.getOrElse(0L), timestamp.isDefined)
+      case PbfFormat => new PbfTileSink(raw, bbox)
+      case OsmGzFormat =>
+        // reference gzip level 9 via gzip.open(..., "wb") default
+        // (output/osmUtil.py:42-51); syncFlush off, finish() on close
+        val gz = new java.util.zip.GZIPOutputStream(raw, 1 << 16) {
+          `def`.setLevel(java.util.zip.Deflater.BEST_COMPRESSION)
+        }
+        new OsmXmlTileSink(gz, bbox, osmVersion, tsAttr)
+      case _ => new OsmXmlTileSink(raw, bbox, osmVersion, tsAttr)
     }
   }
 }
@@ -73,9 +91,11 @@ final class PbfTileSink(out: java.io.OutputStream, bbox: BBox) extends TileSink 
   }
 }
 
-final class OsmXmlTileSink(out: java.io.OutputStream, bbox: BBox) extends TileSink {
+final class OsmXmlTileSink(out: java.io.OutputStream, bbox: BBox,
+    osmVersion: Double = 0.6, tsAttr: String = "") extends TileSink {
   private val w = new OsmXmlWriter(
-    out, OsmXml.boundsTag(bbox.minLon, bbox.minLat, bbox.maxLon, bbox.maxLat))
+    out, OsmXml.boundsTag(bbox.minLon, bbox.minLat, bbox.maxLon, bbox.maxLat),
+    osmVersion = osmVersion, nodeTimestampString = tsAttr, wayTimestampString = tsAttr)
   def writePath(coords: Array[Double], startNodeId: Long, elevation: Long): (Long, PreparedWay) =
     w.writePath(coords, startNodeId, elevation)
   def finish(ways: Seq[PreparedWay], startWayId: Long, classifier: Long => String): Unit = {
@@ -86,8 +106,9 @@ final class OsmXmlTileSink(out: java.io.OutputStream, bbox: BBox) extends TileSi
 
 /** o5m tile sink: buffers quantized node coords into <=32000-node chunks
   * (reference o5mUtil writeNodes, :273-307). */
-final class O5mTileSink(out: java.io.OutputStream, bbox: BBox) extends TileSink {
-  private val w = new O5mWriter(out, bbox)
+final class O5mTileSink(out: java.io.OutputStream, bbox: BBox,
+    fileTimestamp: Long = 0L, writeTimestamp: Boolean = false) extends TileSink {
+  private val w = new O5mWriter(out, bbox, fileTimestamp, writeTimestamp)
   private val pending = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
   private var chunkStartId = -1L
   private var nextId = -1L
