@@ -18,14 +18,18 @@ object ContourGen {
       levels: Seq[Int],
       contours: Seq[LevelContours])
 
-  /** Generate contours for one tile grid view with bbox-derived axes. */
+  /** Generate contours for one tile grid view with bbox-derived axes.
+    * `transform` reprojects traced paths to WGS84 BEFORE simplification,
+    * matching the reference order trace -> transform -> RDP -> split
+    * (hgt/contour.py:133-137). */
   def tileContours(
       gv: GridView,
       bbox: BBox,
       lonInc: Double,
       latInc: Double,
       cfg: JobConfig,
-      scratch: Scratch = new Scratch): TileContours = {
+      scratch: Scratch = new Scratch,
+      transform: Option[(Double, Double) => (Double, Double)] = None): TileContours = {
     val (minEle, maxEle) = Chop.elevRange(gv)
     val levels =
       Levels.levels(minEle, maxEle, cfg.contourStepSize, cfg.noZero, cfg.minCont, cfg.maxCont)
@@ -38,7 +42,11 @@ object ContourGen {
     levels.foreach { level =>
       val raw = MarchingSquares.trace(gv, xs, ys, level.toDouble, cornerMask = true, scratch, stats)
       val outPaths = new ArrayBuffer[Array[Double]]()
-      raw.foreach { path0 =>
+      raw.foreach { path00 =>
+        val path0 = transform match {
+          case Some(f) => Crs.transformPath(path00, f)
+          case None    => path00
+        }
         val path = cfg.rdpEpsilon match {
           case Some(eps) => Rdp.simplify(path0, eps)
           case None      => path0

@@ -34,10 +34,11 @@ object RasterPipeline {
       key: String,
       tileIdx: Int,
       path: String,
-      minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
+      minLon: Double, minLat: Double, maxLon: Double, maxLat: Double, // native CRS
       rowOff: Int, rows: Int, colOff: Int, cols: Int,
       fullCols: Int,
-      lonInc: Double, latInc: Double)
+      lonInc: Double, latInc: Double,
+      epsg: Int = 4326)
 
   final case class ContourRow(
       key: String,
@@ -51,6 +52,21 @@ object RasterPipeline {
 
   final case class TileOffsets(nodeStart: Long, wayStart: Long)
 
+  /** Decode a DEM source (HGT or GeoTIFF) to (grid, native bbox, epsg).
+    * GeoTIFF per reference init_as_geotiff (file.py:500-555); HGT per
+    * init_as_hgt (file.py:449-498). */
+  private def decodeDem(path: String, bytes: Array[Byte], voidMax: Int,
+      smoothRatio: Double, feetSteps: Boolean): (Grid, BBox, Int) = {
+    val (raw, bbox0, epsg) =
+      if (Tiff.isTiff(path)) {
+        val t = Tiff.decode(bytes, voidMax)
+        (t.grid, t.bbox, t.epsg)
+      } else (Hgt.decode(bytes, voidMax), Hgt.parseHgtFilename(path), 4326)
+    val zoomed = if (smoothRatio != 1.0) Resample.zoom(raw, smoothRatio) else raw
+    val grid = if (feetSteps) Hgt.toFeet(zoomed) else zoomed
+    (grid, bbox0, epsg)
+  }
+
   /** Scan + decode + chop: one lightweight spec row per tile. */
   def tiles(spark: SparkSession, paths: Seq[String], cfg: JobConfig): Dataset[DemTileRow] = {
     import spark.implicits._
@@ -58,18 +74,18 @@ object RasterPipeline {
       .select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val key = path.split('/').last.replaceAll("\\.hgt$", "")
-        val raw = Hgt.decode(bytes, cfg.voidMax)
-        val zoomed = if (cfg.smoothRatio != 1.0) Resample.zoom(raw, cfg.smoothRatio) else raw
-        val grid = if (cfg.feetSteps) Hgt.toFeet(zoomed) else zoomed
-        val bbox = Hgt.parseHgtFilename(path)
-        val lonInc = 1.0 / (grid.cols - 1)
-        val latInc = 1.0 / (grid.rows - 1)
+        val key = path.split('/').last.replaceAll("\\.(hgt|tif|tiff)$", "")
+        val (grid, bbox, epsg) =
+          decodeDem(path, bytes, cfg.voidMax, cfg.smoothRatio, cfg.feetSteps)
+        val lonInc = (bbox.maxLon - bbox.minLon) / (grid.cols - 1)
+        val latInc = (bbox.maxLat - bbox.minLat) / (grid.rows - 1)
+        require(epsg == 4326 || cfg.area.isEmpty,
+          "--area is WGS84; truncation of non-4326 sources is unsupported")
         val start = Chop.truncate(cfg.area, bbox, grid.rows, grid.cols, lonInc, latInc)
         val slices = Chop.chop(grid, start, latInc, cfg.contourStepSize, cfg.maxNodesPerTile)
         slices.zipWithIndex.map { case (s, idx) =>
           DemTileRow(key, idx, path, s.bbox.minLon, s.bbox.minLat, s.bbox.maxLon, s.bbox.maxLat,
-            s.rowOff, s.rows, s.colOff, s.cols, grid.cols, lonInc, latInc)
+            s.rowOff, s.rows, s.colOff, s.cols, grid.cols, lonInc, latInc, epsg)
         }
       }
   }
@@ -102,9 +118,7 @@ object RasterPipeline {
       // Hadoop FS read: source rasters live on the cluster FS, not on a
       // shared POSIX mount; binaryFile scan paths carry their scheme
       val bytesIn = graft.core.Fs.readAllBytes(path)
-      val raw = Hgt.decode(bytesIn, voidMax)
-      val zoomed = if (smoothRatio != 1.0) Resample.zoom(raw, smoothRatio) else raw
-      val g = if (feetSteps) Hgt.toFeet(zoomed) else zoomed
+      val (g, _, _) = decodeDem(path, bytesIn, voidMax, smoothRatio, feetSteps)
       cache.synchronized {
         bytes += est(g)
         cache.put(key, g)
@@ -137,12 +151,18 @@ object RasterPipeline {
           val g = GridCache.grid(tr.path, voidMax, smoothRatio, feetSteps)
           val gv = new GridView(g.values, g.mask, tr.rowOff * tr.fullCols + tr.colOff, tr.fullCols, tr.rows, tr.cols)
           val bbox = BBox(tr.minLon, tr.minLat, tr.maxLon, tr.maxLat)
-          val tc = ContourGen.tileContours(gv, bbox, tr.lonInc, tr.latInc, cfg, scratch)
+          // F10: non-4326 sources trace in native grid space; paths are
+          // reprojected to WGS84 before RDP/split (reference order), and
+          // the emitted row bbox is the reprojected tile bbox
+          val xf = Crs.toWgs84(tr.epsg)
+          val tc = ContourGen.tileContours(gv, bbox, tr.lonInc, tr.latInc, cfg, scratch, xf)
+          val (oMinLon, oMinLat) = xf.map(_(tr.minLon, tr.minLat)).getOrElse((tr.minLon, tr.minLat))
+          val (oMaxLon, oMaxLat) = xf.map(_(tr.maxLon, tr.maxLat)).getOrElse((tr.maxLon, tr.maxLat))
           tc.contours.iterator.flatMap { lc =>
             lc.paths.iterator.zipWithIndex.map { case (p, i) =>
               val n = p.length / 2
               val closed = n >= 2 && p(0) == p(2 * (n - 1)) && p(1) == p(2 * (n - 1) + 1)
-              ContourRow(tr.key, tr.tileIdx, tr.minLon, tr.minLat, tr.maxLon, tr.maxLat,
+              ContourRow(tr.key, tr.tileIdx, oMinLon, oMinLat, oMaxLon, oMaxLat,
                 lc.elevation, i, closed, if (closed) n - 1 else n, p)
             }
           }
