@@ -51,8 +51,8 @@ object ScalingBench {
       // actually exercised: with polygons from other tiles the cell-cover
       // prejoin prunes everything and the "join" phase measures nothing.
       val cfgCoarse = cfg.copy(contourStepSize = 200)
-      val polys = RasterPipeline.contours(tiles, cfgCoarse, parts)
-        .filter(col("key").isin("N43E006", "N43E007"))
+      val polys = RasterPipeline.contours(
+          tiles.filter(col("key").isin("N43E006", "N43E007")), cfgCoarse, parts)
         .filter(col("closed") && size(col("coords")) <= 400)
         .orderBy("key", "tileIdx", "elevation", "pathIdx") // deterministic pick
         .limit(500)
@@ -128,10 +128,11 @@ object ScalingBench {
     val cp = System.getProperty("java.class.path")
     val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
       .filterNot(a => a.startsWith("-XX:ParallelGCThreads") || a.startsWith("-Xmx") || a.startsWith("-Xms"))
-    // identical small GC pool at both levels: GC work scales with
-    // allocation (same at both levels), and compute+GC together must stay
-    // inside the hypervisor's CPU quota or the whole JVM gets throttled
-    val gcThreads = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "8")
+    // GC pool sized to the worker count: total allocation is the same at
+    // both levels but the allocation RATE scales with cores, so a fixed
+    // small pool throttles the high level's young collections (a real
+    // cluster sizes GC per executor the same way)
+    val gcThreads = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", math.max(4, cores / 2).toString)
     // fixed, pre-touched heap: this microVM backs guest memory lazily, so
     // on-demand heap growth causes fault storms mid-measurement; paying the
     // page faults at JVM startup removes the dominant noise source
@@ -201,10 +202,11 @@ object ScalingBench {
     // measure in back-to-back (lo, hi) PAIRS: the hypervisor's CPU quota
     // drifts over minutes, so efficiency is only meaningful when both
     // levels ran in the same window; report the best pair
+    val measured = sys.env.getOrElse("SPARK_GRAFT_BENCH_MEASURED", "2").toInt
     val pairs = (1 to reps).map { _ =>
       val cal = cpuCalibration(lo, hi)
-      val l = spawnLevel(lo, nPages, 1)
-      val h = spawnLevel(hi, nPages, 1)
+      val l = spawnLevel(lo, nPages, measured)
+      val h = spawnLevel(hi, nPages, measured)
       (l, h, cal)
     }
     pairs.foreach { case (l, h, cal) =>

@@ -34,11 +34,22 @@ object Hgt {
   }
 
   /** lat/lon -> `N43E006` style key. Reference: pyhgtmap/latlon.py:12-40. */
-  def tileKey(lat: Int, lon: Int): String = {
+  def tileKey(lat: Int, lon: Int, latPadding: Int = 2): String = {
     val ns = if (lat >= 0) "N" else "S"
     val ew = if (lon >= 0) "E" else "W"
-    f"$ns${math.abs(lat)}%02d$ew${math.abs(lon)}%03d"
+    val latS = math.abs(lat).toString.reverse.padTo(latPadding, '0').reverse
+    f"$ns$latS%s$ew${math.abs(lon)}%03d"
   }
+
+  /** Floor to a multiple (Python `//`-division semantics, so -43 rounds to
+    * -45 for multiple 5). Reference round_to, latlon.py:52-65. */
+  def roundToMultiple(v: Int, multiple: Int): Int =
+    math.floorDiv(v, multiple) * multiple
+
+  /** ALOS 5-degree group key, e.g. (43, 6) -> `N040E005` (reference
+    * sources/alos.py:51: round_to(5).to_string(lat_padding=3)). */
+  def alosGroupKey(lat: Int, lon: Int): String =
+    tileKey(roundToMultiple(lat, 5), roundToMultiple(lon, 5), latPadding = 3)
 
   /** Decode raw `.hgt` bytes: square big-endian int16 grid, side inferred
     * from byte length; void cells (<= voidMax) masked.

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BooleanType, DataType}
 import graft.core.Geometry
 
@@ -15,10 +15,17 @@ import graft.core.Geometry
   * Column-from-Expression constructor is no longer public).
   */
 case class PipContains(left: Expression, right: Expression, poly: Array[Double])
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = BooleanType
   override def nullSafeEval(lon: Any, lat: Any): Any =
     Geometry.contains(poly, lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+  // stays inside whole-stage codegen: the polygon is a plan-time reference
+  // object and the ray cast is a static call (Geometry's static forwarder)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val polyRef = ctx.addReferenceObj("pipPoly", poly, "double[]")
+    nullSafeCodeGen(ctx, ev, (lon, lat) =>
+      s"${ev.value} = graft.core.Geometry.contains($polyRef, $lon, $lat);")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PipContains =
     copy(left = l, right = r)
   override def prettyName: String = "pip_contains"

@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -12,7 +12,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * but O(len) instead of O(len * n) substring extractions — the scale path
   * for minhash/LSH shingling. */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1 && n <= 16)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   // wrapping integer power, matching the modular arithmetic of the rolling
@@ -25,8 +25,9 @@ case class ShingleHashes(child: Expression, n: Int)
     p
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+  /** Codegen + interpreted kernel (public so generated Java can call it). */
+  def hashAll(v: UTF8String): ArrayData = {
+    val s = v.toString
     val len = s.length
     if (len < n) return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long](len - n + 1)
@@ -42,6 +43,14 @@ case class ShingleHashes(child: Expression, n: Int)
     }
     new GenericArrayData(out)
   }
+
+  override def nullSafeEval(v: Any): Any = hashAll(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.hashAll($s);")
+  }
+
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
   override def prettyName: String = s"shingle_hashes_$n"
 }

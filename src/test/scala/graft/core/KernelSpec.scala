@@ -90,6 +90,15 @@ class KernelSpec extends AnyFunSuite {
     assert(Hgt.tileKey(-9, -123) == "S09W123")
   }
 
+  test("alos 5-degree group key (reference sources/alos.py:51)") {
+    assert(Hgt.roundToMultiple(43, 5) == 40)
+    assert(Hgt.roundToMultiple(-43, 5) == -45) // Python floor division
+    assert(Hgt.roundToMultiple(45, 5) == 45)
+    assert(Hgt.alosGroupKey(43, 6) == "N040E005")
+    assert(Hgt.alosGroupKey(-9, -123) == "S010W125")
+    assert(Hgt.alosGroupKey(0, 0) == "N000E000")
+  }
+
   test("hgt decode: big-endian int16, void masking") {
     val bytes = Array[Byte](0, 10, 0x7f, -1, -128, 0, -1, -4) // 10, 32767, -32768, -4
     val g = Hgt.decode(bytes)

@@ -72,4 +72,27 @@ class PlanSpec extends AnyFunSuite {
     val rows = df.as[(Long, Long)].collect()
     rows.foreach { case (id, h) => assert(h == graft.synth.Pages.mix(id)) }
   }
+
+  test("pip/shingle/wrap codegen matches interpreted eval") {
+    import spark.implicits._
+    // force both paths: default (codegen) vs spark.sql.codegen.factoryMode
+    def run(): (Seq[Boolean], Seq[Seq[Long]], Seq[String]) = {
+      val df = spark.range(0, 200)
+        .selectExpr(
+          "pip_contains_col(CAST(id % 20 AS DOUBLE) / 10.0, CAST(id % 13 AS DOUBLE) / 10.0, array(0D,0D,1D,0D,1D,1D,0D,1D)) AS inside",
+          "shingle_hashes_4(concat('doc ', id, ' lorem ipsum')) AS sh",
+          "wrap_extract(concat('t<&', id), concat('u', id)) AS w")
+      df.as[(Boolean, Seq[Long], String)].collect().toSeq.unzip3
+    }
+    val (in1, sh1, w1) = run()
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val (in2, sh2, w2) = run()
+      assert(in1 == in2 && sh1 == sh2 && w1 == w2)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
