@@ -23,6 +23,9 @@ object PipelineCli {
     var cfg = JobConfig(rdpEpsilon = None)
     var cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     var format = graft.sinks.TileSink.OsmXmlFormat
+    var sourcePrefs: Seq[String] = Nil
+    var polyFile: Option[String] = None
+    var cacheRoot = sys.env.getOrElse("SPARK_GRAFT_CACHE", "/tmp/graft_cache")
     var i = 1
     while (i < args.length) {
       args(i) match {
@@ -39,6 +42,9 @@ object PipelineCli {
         case "--write-timestamp" => // epoch seconds (deterministic, injectable)
           cfg = cfg.copy(writeTimestamp = Some(args(i + 1).toLong)); i += 2
         case "--smooth" => cfg = cfg.copy(smoothRatio = args(i + 1).toDouble); i += 2
+        case "--source" => sourcePrefs = args(i + 1).split(',').toSeq; i += 2
+        case "--poly" => polyFile = Some(args(i + 1)); i += 2
+        case "--cache" => cacheRoot = args(i + 1); i += 2
         case f if !f.startsWith("--") => files += f; i += 1
         case other => System.err.println(s"unknown option: $other"); sys.exit(2)
       }
@@ -51,6 +57,27 @@ object PipelineCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reference download-planning flow when no explicit files are given:
+    // area/.poly -> tile keys (+polygon prefilter) -> source pool fetch
+    if (files.isEmpty && sourcePrefs.nonEmpty) {
+      val (polygons, areaStr) = polyFile match {
+        case Some(p) =>
+          val parsed = graft.core.PolyFile.parseFile(p)
+          (parsed.polygons, parsed.areaString)
+        case None =>
+          (Nil, cfg.area.getOrElse {
+            System.err.println("--source needs --area or --poly to enumerate tiles"); sys.exit(2)
+          })
+      }
+      val Array(lo0, la0, lo1, la1) = areaStr.split(':').map(_.toDouble)
+      val keys = graft.engine.TileKeys.enumerate(
+        (math.floor(lo0).toInt, math.floor(la0).toInt,
+          math.ceil(lo1).toInt, math.ceil(la1).toInt), polygons)
+      val fetched = graft.sources.Sources
+        .fetchAll(spark, cacheRoot, keys.map(_._1), sourcePrefs).collect()
+      System.err.println(s"resolved ${fetched.length}/${keys.size} tiles from ${sourcePrefs.mkString(",")}")
+      files ++= fetched.map(_.getString(2))
+    }
     val t0 = System.nanoTime()
     val report = RasterPipeline.runResumable(spark, files.toSeq, outDir, cfg, format)
     val secs = (System.nanoTime() - t0) / 1e9

@@ -157,30 +157,31 @@ object ScalingBench {
     Result(c.toInt, w, pages.toLong, pages.toLong / w, nodes.toLong, nodes.toLong / w, joinRows.toLong)
   }
 
-  /** Pure-CPU calibration: how much speedup can THIS host deliver right now
-    * from lo to hi threads? (The sandbox hypervisor enforces a drifting CPU
-    * quota; engine efficiency is only interpretable against it.) */
-  def cpuCalibration(lo: Int, hi: Int, unitMs: Long = 1500L): Double = {
-    def burn(threads: Int): Double = {
-      val work = 600000000L // iterations per thread
-      val t0 = System.nanoTime()
-      val ts = (1 to threads).map { _ =>
-        val t = new Thread(() => {
-          var i = 0L
-          var acc = 1L
-          while (i < work) { acc = acc * 6364136223846793005L + 1442695040888963407L; i += 1 }
-          if (acc == 42L) println("") // keep acc live
-        })
-        t.start(); t
-      }
-      ts.foreach(_.join())
-      val wall = (System.nanoTime() - t0) / 1e9
-      threads / wall // work units per second
+  /** Pure-CPU burn at `threads`: work units per second THIS host delivers
+    * right now. (The sandbox hypervisor enforces a drifting CPU quota;
+    * engine efficiency is only interpretable against it, and the quota
+    * drifts over minutes — so each burn must run ADJACENT to the engine
+    * measurement it normalizes, not minutes earlier.) */
+  def burn(threads: Int): Double = {
+    val work = 600000000L // iterations per thread
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { _ =>
+      val t = new Thread(() => {
+        var i = 0L
+        var acc = 1L
+        while (i < work) { acc = acc * 6364136223846793005L + 1442695040888963407L; i += 1 }
+        if (acc == 42L) println("") // keep acc live
+      })
+      t.start(); t
     }
+    ts.foreach(_.join())
+    val wall = (System.nanoTime() - t0) / 1e9
+    threads / wall // work units per second
+  }
+
+  def cpuCalibration(lo: Int, hi: Int): Double = {
     burn(2) // warm JIT
-    val thLo = burn(lo)
-    val thHi = burn(hi)
-    thHi / thLo
+    burn(hi) / burn(lo)
   }
 
   def main(args: Array[String]): Unit = {
@@ -203,11 +204,16 @@ object ScalingBench {
     // drifts over minutes, so efficiency is only meaningful when both
     // levels ran in the same window; report the best pair
     val measured = sys.env.getOrElse("SPARK_GRAFT_BENCH_MEASURED", "2").toInt
+    burn(2) // warm calibration JIT once
     val pairs = (1 to reps).map { _ =>
-      val cal = cpuCalibration(lo, hi)
+      // calibration burns run ADJACENT to the level they normalize: the
+      // quota drifts over minutes, so a single pre-pair calibration can
+      // attribute host drift to the engine (or mask engine losses)
+      val calLo = burn(lo)
       val l = spawnLevel(lo, nPages, measured)
+      val calHi = burn(hi)
       val h = spawnLevel(hi, nPages, measured)
-      (l, h, cal)
+      (l, h, calHi / calLo)
     }
     pairs.foreach { case (l, h, cal) =>
       val e = (l.wallSec / h.wallSec) / (hi.toDouble / lo)

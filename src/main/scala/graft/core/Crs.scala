@@ -36,6 +36,27 @@ object Crs {
         s"unsupported source CRS EPSG:$other (supported: 4326, 3857)")
   }
 
+  /** Python math.isclose default semantics (rel_tol 1e-9). */
+  def isClose(a: Double, b: Double, relTol: Double = 1e-9, absTol: Double = 0.0): Boolean =
+    math.abs(a - b) <= math.max(relTol * math.max(math.abs(a), math.abs(b)), absTol)
+
+  /** Transform a bbox corner-wise, requiring the result to stay an
+    * axis-aligned rectangle in WGS84 (reference ensure_aligned_coordinates
+    * + transform_lon_lats, hgt/__init__.py:20-68). */
+  def transformBBox(b: BBox, f: (Double, Double) => (Double, Double)): BBox = {
+    val lowLeft = f(b.minLon, b.minLat)
+    val highLeft = f(b.minLon, b.maxLat)
+    val highRight = f(b.maxLon, b.maxLat)
+    val lowRight = f(b.maxLon, b.minLat)
+    require(
+      isClose(lowLeft._2, lowRight._2) && isClose(lowLeft._1, highLeft._1) &&
+        isClose(highLeft._2, highRight._2) && isClose(highRight._1, lowRight._1),
+      "Tile doesn't map to an aligned rectangle in WGS84 coordinates")
+    val lons = Seq(lowLeft._1, highLeft._1, highRight._1, lowRight._1)
+    val lats = Seq(lowLeft._2, highLeft._2, highRight._2, lowRight._2)
+    BBox(lons.min, lats.min, lons.max, lats.max)
+  }
+
   /** Transform a packed [x0,y0,x1,y1,...] path in place semantics-free
     * (returns a new array). */
   def transformPath(path: Array[Double], f: (Double, Double) => (Double, Double)): Array[Double] = {

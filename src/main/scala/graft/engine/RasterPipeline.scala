@@ -156,8 +156,9 @@ object RasterPipeline {
           // the emitted row bbox is the reprojected tile bbox
           val xf = Crs.toWgs84(tr.epsg)
           val tc = ContourGen.tileContours(gv, bbox, tr.lonInc, tr.latInc, cfg, scratch, xf)
-          val (oMinLon, oMinLat) = xf.map(_(tr.minLon, tr.minLat)).getOrElse((tr.minLon, tr.minLat))
-          val (oMaxLon, oMaxLat) = xf.map(_(tr.maxLon, tr.maxLat)).getOrElse((tr.maxLon, tr.maxLat))
+          val obox = xf.map(Crs.transformBBox(bbox, _)).getOrElse(bbox)
+          val (oMinLon, oMinLat, oMaxLon, oMaxLat) =
+            (obox.minLon, obox.minLat, obox.maxLon, obox.maxLat)
           tc.contours.iterator.flatMap { lc =>
             lc.paths.iterator.zipWithIndex.map { case (p, i) =>
               val n = p.length / 2

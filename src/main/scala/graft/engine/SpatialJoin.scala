@@ -67,14 +67,22 @@ object SpatialJoin {
   }
 
   /** Salted shuffle variant for covers too large to broadcast / dense
-    * cells: deterministic salt = pmod(xxhash64(url), salts). */
+    * cells: deterministic salt = pmod(xxhash64(url), salts).
+    *
+    * A broadcast semi-join on the cover's cell set prunes pages BEFORE the
+    * wide exchange: only rows whose cell is covered by some polygon enter
+    * the shuffle. At 10^12 pages where polygons cover a fraction of the
+    * globe this is the difference between shuffling everything and
+    * shuffling the candidate set. */
   def pipJoinSalted(pages: DataFrame, polys: Seq[Poly], res: Int, salts: Int): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     val fn = registerPipLookup(pages, polys)
+    val cover0 = coverDf(spark, polys, res)
     val saltsDf = spark.range(0, salts).toDF("salt")
-    val cover = coverDf(spark, polys, res).crossJoin(saltsDf)
+    val cover = cover0.crossJoin(saltsDf)
     pages
+      .join(broadcast(cover0.select("cell").distinct()), Seq("cell"), "leftsemi")
       .withColumn("salt", pmod(xxhash64(col("url")), lit(salts.toLong)))
       .join(cover.hint("shuffle_hash"), Seq("cell", "salt"))
       .filter(call_function(fn, col("lon"), col("lat"), col("poly_id")))

@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** DEM source plugin registry (SURVEY.md §2.1 S9), mirroring the
+  * reference's Source base class + nickname registry + pool
+  * (/root/reference/pyhgtmap/sources/__init__.py:24-130, sources/pool.py):
+  *
+  *  - a source has a 4-char nickname, supported resolutions (arc-seconds),
+  *    and a per-resolution cache dir `{NICKNAME}{res}/{key}.hgt`;
+  *  - cached files are validated by exact size (2*(3600/res+1)^2);
+  *  - a preference list like "view1,view3,srtm1" resolves per key to the
+  *    first source that can provide the file.
+  *
+  * Network downloaders (S10-S13) are excused by the zero-egress mandate;
+  * the bundled sources are the deterministic synthesizer (`synt1`/`synt3`)
+  * and a read-only local-directory source (`locl`) for pre-provisioned
+  * caches. New sources register via `Sources.register`.
+  */
+trait DemSource {
+  /** 4-char nickname (reference enforces exactly 4; we do too). */
+  def nickname: String
+  def supportedResolutions: Seq[Int] = Seq(1, 3)
+  def fileExtension: String = "hgt"
+
+  /** Produce (or locate) the file for `key` at `resolution` under
+    * cacheRoot; None if this source cannot provide it. */
+  def fetch(cacheRoot: String, key: String, resolution: Int): Option[String]
+
+  final def cacheDir(cacheRoot: String, resolution: Int): String =
+    s"$cacheRoot/${nickname.toUpperCase}$resolution"
+
+  /** Exact-size validation of a cached hgt (reference check_cached_file). */
+  final def validCached(path: String, resolution: Int): Boolean = {
+    val f = new java.io.File(path)
+    if (!f.isFile) return false
+    if (!path.endsWith(".hgt")) return true
+    val side = 3600 / resolution + 1
+    f.length == 2L * side * side
+  }
+}
+
+/** Deterministic synthesizer source (zero-egress stand-in for downloads). */
+final class SynthSource extends DemSource {
+  val nickname = "synt"
+  override def fetch(cacheRoot: String, key: String, resolution: Int): Option[String] = {
+    if (!supportedResolutions.contains(resolution)) return None
+    val bbox = try graft.core.Hgt.parseHgtFilename(s"$key.hgt") catch { case _: Exception => return None }
+    val dir = cacheDir(cacheRoot, resolution)
+    val side = 3600 / resolution + 1
+    val p = s"$dir/$key.hgt"
+    if (validCached(p, resolution)) Some(p)
+    else Some(graft.synth.SynthDem.writeHgt(dir, bbox.minLat.toInt, bbox.minLon.toInt, side))
+  }
+}
+
+/** Read-only local cache source: serves whatever a previous provisioning
+  * step placed under its cache dir; never creates files. */
+final class LocalDirSource extends DemSource {
+  val nickname = "locl"
+  override def fetch(cacheRoot: String, key: String, resolution: Int): Option[String] = {
+    val p = s"${cacheDir(cacheRoot, resolution)}/$key.hgt"
+    if (validCached(p, resolution)) Some(p) else None
+  }
+}
+
+object Sources {
+  private val registry = scala.collection.concurrent.TrieMap.empty[String, DemSource]
+
+  def register(s: DemSource): Unit = {
+    require(s.nickname.length == 4, "source nickname must be exactly 4 chars")
+    registry.put(s.nickname.take(4).toLowerCase, s)
+  }
+
+  register(new SynthSource)
+  register(new LocalDirSource)
+
+  def get(nickname: String): Option[DemSource] = registry.get(nickname.toLowerCase)
+
+  /** Parse "view1,view3"-style preference strings into (source, resolution)
+    * pairs (reference supported_source_options: nickname + resolution). */
+  def parsePreference(prefs: Seq[String]): Seq[(DemSource, Int)] =
+    prefs.map { p =>
+      val (nick, resStr) = p.splitAt(4)
+      val res = try resStr.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"bad source option '$p' (want <4-char nickname><resolution>, e.g. synt3)")
+      }
+      val src = get(nick).getOrElse(
+        throw new IllegalArgumentException(s"unknown DEM source '$nick' (registered: ${registry.keys.mkString(",")})"))
+      require(src.supportedResolutions.contains(res), s"$nick does not support ${res}s resolution")
+      (src, res)
+    }
+
+  /** Distributed pool fetch: resolve every wanted key to the first
+    * preference-ordered source that provides it (reference pool.py
+    * semantics), fanned out over executors as a real download fleet would
+    * be. Returns (key, source, path); keys nobody can provide are absent. */
+  def fetchAll(
+      spark: SparkSession,
+      cacheRoot: String,
+      keys: Seq[String],
+      prefs: Seq[String]): DataFrame = {
+    import spark.implicits._
+    parsePreference(prefs) // fail fast on the driver for bad prefs
+    val prefList = prefs.toList
+    val root = cacheRoot
+    keys.toDS()
+      .repartition(math.min(keys.size, spark.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        val resolved = parsePreference(prefList)
+        it.flatMap { key =>
+          resolved.iterator
+            .flatMap { case (src, res) =>
+              src.fetch(root, key, res).map(p => (key, s"${src.nickname}$res", p))
+            }
+            .take(1)
+        }
+      }
+      .toDF("key", "source", "path")
+  }
+}

@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Source plugin registry + pool semantics (S9): nickname registry,
+  * cache layout, size validation, preference-ordered resolution. */
+class SourcesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]").appName("sources-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  test("registry rejects bad nicknames, parses preference strings") {
+    assertThrows[IllegalArgumentException](
+      Sources.register(new DemSource {
+        val nickname = "toolong"
+        def fetch(c: String, k: String, r: Int) = None
+      }))
+    val parsed = Sources.parsePreference(Seq("synt3", "locl1"))
+    assert(parsed.map(_._2) == Seq(3, 1))
+    assertThrows[IllegalArgumentException](Sources.parsePreference(Seq("nope3")))
+  }
+
+  test("synth source writes valid-size tiles into its cache dir; local source only reads") {
+    val root = java.nio.file.Files.createTempDirectory("srcroot").toString
+    val syn = new SynthSource
+    val p = syn.fetch(root, "N10E010", 3).get
+    assert(p == s"$root/SYNT3/N10E010.hgt")
+    assert(new java.io.File(p).length == 2L * 1201 * 1201)
+    assert(syn.validCached(p, 3))
+    assert(!syn.validCached(p, 1)) // wrong size for 1s resolution
+    val loc = new LocalDirSource
+    assert(loc.fetch(root, "N10E010", 3).isEmpty) // different cache dir
+    // provision the local cache by copying, then it serves
+    val locDir = new java.io.File(loc.cacheDir(root, 3))
+    locDir.mkdirs()
+    java.nio.file.Files.copy(java.nio.file.Paths.get(p),
+      java.nio.file.Paths.get(locDir.toString, "N10E010.hgt"))
+    assert(loc.fetch(root, "N10E010", 3).isDefined)
+  }
+
+  test("pool resolves each key to the first providing source, distributed") {
+    val root = java.nio.file.Files.createTempDirectory("poolroot").toString
+    // provision locl3 with ONE key so preference order is observable
+    val syn = new SynthSource
+    val seeded = syn.fetch(root, "N20E020", 3).get
+    val locDir = s"$root/LOCL3"
+    new java.io.File(locDir).mkdirs()
+    java.nio.file.Files.copy(java.nio.file.Paths.get(seeded),
+      java.nio.file.Paths.get(locDir, "N20E020.hgt"))
+    val rows = Sources.fetchAll(spark, root,
+        Seq("N20E020", "N21E020", "N22E020"), Seq("locl3", "synt3"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("N20E020") == "locl3") // local cache preferred
+    assert(rows("N21E020") == "synt3") // falls through to synth
+    assert(rows("N22E020") == "synt3")
+    // and every resolved path exists with the right size
+    val paths = Sources.fetchAll(spark, root,
+      Seq("N20E020", "N21E020"), Seq("locl3", "synt3")).collect().map(_.getString(2))
+    paths.foreach(p => assert(new java.io.File(p).length == 2L * 1201 * 1201))
+  }
+}
