@@ -257,6 +257,103 @@ object Queries {
          |ORDER BY doc_a, doc_b""".stripMargin
     })
 
+  /** Exact n-gram Jaccard verification of the LSH candidate pairs (q22):
+    * the verify stage a production near-dup pipeline runs after banding.
+    * Distinct 8-gram shingle sets per doc; |A∩B| / |A∪B|. */
+  private val qJaccard = Q(
+    "q27_jaccard_verify",
+    (s, dir) => {
+      val sh = shingles8(s, dir).distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val aggs = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
+        min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"mh$j")
+      }
+      val sig = shingles8(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val keys = Seq("mh0", "mh1", "mh2", "mh3")
+      val cand = sig.toDF("doc_a" +: keys: _*)
+        .join(sig.toDF("doc_b" +: keys: _*), keys)
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+      val inter = sh.toDF("doc_a", "h")
+        .join(cand, Seq("doc_a"))
+        .join(sh.toDF("doc_b", "h"), Seq("doc_b", "h"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.toDF("doc_a", "sz_a"), Seq("doc_a"))
+        .join(sizes.toDF("doc_b", "sz_b"), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("n_inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("n_inter")), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val aggs = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
+        s"min((h * $a + $b) % $P) AS mh$j"
+      }.mkString(", ")
+      s"""WITH sh AS (SELECT DISTINCT doc_id, h FROM ($shingles8Sql)),
+         | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         | sig AS (SELECT doc_id, $aggs FROM ($shingles8Sql) GROUP BY doc_id),
+         | cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+         |  ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.mh3 = b.mh3
+         |  AND a.doc_id < b.doc_id),
+         | inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b AND y.h = x.h
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         | round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+         | JOIN sizes sb ON sb.doc_id = i.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    })
+
+  /** Document fingerprint over the rolling-hash stream: order-insensitive
+    * (min, max, xor, distinct-count) content signature per doc. */
+  private val qFingerprint = Q(
+    "q28_fingerprint",
+    (s, dir) => {
+      val sh = shingles8(s, dir)
+      sh.groupBy("doc_id")
+        .agg(
+          min("h").as("fp_min"),
+          max("h").as("fp_max"),
+          expr("bit_xor(h)").as("fp_xor"),
+          countDistinct("h").as("n_distinct"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
+            | bit_xor(h) AS fp_xor, count(DISTINCT h) AS n_distinct
+            |FROM ($shingles8Sql) GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Quality scoring: token-level ratios (stopword share, vocabulary
+    * diversity, mean token length) and a composite keep/drop signal — the
+    * heuristics a pretraining-data pipeline gates documents on. */
+  private val qQuality = Q(
+    "q29_quality",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      toks.groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct("tok").as("n_distinct"),
+          round(avg(length(col("tok"))), 6).as("mean_tok_len"),
+          round(sum(when(col("tok").isin("the", "a", "and", "data"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("stopword_ratio"),
+          round(countDistinct("tok").cast("double") / count(lit(1)), 6).as("distinct_ratio"))
+        .withColumn("keep", col("n_tokens") >= 25 && col("distinct_ratio") >= 0.3)
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           |            FROM documents)
+           |SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+           | round(avg(length(tok)), 6) AS mean_tok_len,
+           | round(sum(CASE WHEN tok IN ('the','a','and','data') THEN 1 ELSE 0 END)
+           |   / CAST(count(*) AS DOUBLE), 6) AS stopword_ratio,
+           | round(count(DISTINCT tok) / CAST(count(*) AS DOUBLE), 6) AS distinct_ratio,
+           | (count(*) >= 25 AND count(DISTINCT tok) / CAST(count(*) AS DOUBLE) >= 0.3) AS keep
+           |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   private val qSimhash = Q(
     "q23_simhash",
     (s, dir) => {
@@ -435,6 +532,50 @@ object Queries {
             | FROM (SELECT label, i, avg(x) AS cx, count(*) AS n
             |       FROM ($embDimsSql) GROUP BY label, i)
             | GROUP BY label ORDER BY label""".stripMargin))
+
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine >= tau.
+    * Oracle-parity form is the dims equi-join; the engine's scale path for
+    * 10^9+ vectors is IVF bucketing (Ann.assign + within-cluster pairs),
+    * which q33 pins. */
+  private val qEmbNearDup = Q(
+    "q34_emb_neardup",
+    (s, dir) => {
+      val dims = embDims(s, dir).select(col("vec_id"), col("i"), col("x"))
+      val l = dims.toDF("a", "i", "xa")
+      val r = dims.toDF("b", "i", "xb")
+      l.join(r, Seq("i"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg((sum(col("xa") * col("xb")) /
+          (sqrt(sum(col("xa") * col("xa"))) * sqrt(sum(col("xb") * col("xb"))))).as("cos"))
+        .select(col("a"), col("b"), round(col("cos"), 6).as("r_cos"))
+        .filter(col("r_cos") >= 0.44) // threshold on the ROUNDED value: the
+        // raw double differs across engines by summation order at ~1e-15
+        .orderBy("a", "b")
+    },
+    Some(s"""SELECT a, b, r_cos FROM (
+            | SELECT l.vec_id AS a, r.vec_id AS b,
+            |  round(sum(l.x * r.x) / (sqrt(sum(l.x * l.x)) * sqrt(sum(r.x * r.x))), 6) AS r_cos
+            | FROM ($embDimsSql) l JOIN ($embDimsSql) r ON l.i = r.i AND l.vec_id < r.vec_id
+            | GROUP BY 1, 2)
+            |WHERE r_cos >= 0.44 ORDER BY a, b""".stripMargin))
+
+  /** BPE-ish subword token counting: vowel-run / consonant-run chunks via
+    * regexp_extract_all (the whitespace token count lives in q24). */
+  private val qSubwords = Q(
+    "q35_subword_tokens",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("regexp_extract_all(text, '[aeiou]+|[^aeiou\\\\s]+', 0)").as("pieces"))
+        .select(col("doc_id"),
+          size(col("pieces")).as("n_pieces"),
+          size(array_distinct(col("pieces"))).as("n_distinct_pieces"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           | length(regexp_extract_all(text, '[aeiou]+|[^aeiou\s]+')) AS n_pieces,
+           | length(list_distinct(regexp_extract_all(text, '[aeiou]+|[^aeiou\s]+'))) AS n_distinct_pieces
+           |FROM documents ORDER BY doc_id""".stripMargin))
 
   // --------------------------------------------------------------- relational ---
 
@@ -662,7 +803,8 @@ object Queries {
     qPricing, qNationRevenue, qTopOrders, qRollup, qSessions, qEventHours,
     qGeoCell, qGeoPip, qGeoKnn, qGeoTiles, qGeoBands,
     qDedupExact, qMinhash, qNearDup, qSimhash, qTextStats, qNgrams,
+    qJaccard, qFingerprint, qQuality, qSubwords,
     qRoundtrip, qStreamHourly, qStreamSessions,
-    qEmbStats, qAnn, qCentroids, qIvf,
+    qEmbStats, qAnn, qCentroids, qIvf, qEmbNearDup,
     qContourGolden, qChopGolden)
 }
