@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ShingleHashes, SplitMix64, PipContainsCol, WrapExtract}
+import graft.functions.{ShingleHashes, SplitMix64, PipContainsCol, WrapExtract, CosineSim, SqDistVec}
 
 /** Session extension registering the engine's Catalyst expressions, so any
   * session (including spark-submit with
@@ -32,5 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("wrap_extract"), info("wrap_extract"),
         (exprs: Seq[Expression]) => WrapExtract(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("cosine_sim"), info("cosine_sim"),
+        (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("sq_dist_vec"), info("sq_dist_vec"),
+        (exprs: Seq[Expression]) => SqDistVec(exprs(0), exprs(1))))
   }
 }

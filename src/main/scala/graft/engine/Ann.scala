@@ -13,21 +13,26 @@ import org.apache.spark.sql.expressions.Window
   * nprobe trades recall for a k/nprobe candidate-set reduction, which is
   * what makes 10^12-row cosine search feasible.
   *
-  * All dot products run as codegen'd array expressions (zip_with +
-  * aggregate) over array<double> — no UDFs.
+  * All dot products run through native codegen'd vector expressions
+  * (functions/VecOps.scala) over array<double> — no UDFs, no
+  * CodegenFallback higher-order functions in the hot loop.
   */
 object Ann {
 
-  /** Codegen'd cosine similarity between two array<double> columns. */
-  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
-  }
+  /** Codegen'd cosine similarity between two array<double> columns: a
+    * native expression (functions/VecOps.scala), NOT zip_with/aggregate —
+    * Spark's higher-order functions are CodegenFallback and allocate per
+    * evaluation, which is ruinous inside an all-pairs similarity stage.
+    * Callers must have run `register(spark)` (all entry points here do). */
+  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("cosine_sim", a, b)
 
   private def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    call_function("sq_dist_vec", a, b)
+
+  /** Register the vector kernels in this session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.VecFns.register(spark)
 
   /** Centroids as a literal array<struct<cluster:int, centroid:array<double>>>
     * column — the "broadcast" is a plan literal, so the nearest-centroid
@@ -55,6 +60,7 @@ object Ann {
 
   /** Exact brute-force cosine top-k: (q_id, rank, vec_id, cos). */
   def bruteTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    register(vectors.sparkSession)
     val v = vectors.select(col("vec_id"), col("vec"))
     val q = queries.select(col("q_id"), col("qvec"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
@@ -69,6 +75,7 @@ object Ann {
     * lowest vec_ids; returns (clusterId, centroid). */
   def trainCentroids(vectors: DataFrame, k: Int, iters: Int): Seq[(Int, Array[Double])] = {
     val spark = vectors.sparkSession
+    register(spark)
     import spark.implicits._
     var centroids: Seq[(Int, Array[Double])] = vectors
       .orderBy("vec_id").limit(k)
@@ -99,10 +106,12 @@ object Ann {
 
   /** Assign vectors to their nearest centroid: (cluster, vec_id, vec).
     * Pure narrow projection — no join, no window, no exchange. */
-  def assign(vectors: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame =
+  def assign(vectors: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    register(vectors.sparkSession)
     vectors
       .withColumn("cluster", nearestCluster(col("vec"), centroidLit(centroids)).getField("cluster"))
       .select("cluster", "vec_id", "vec")
+  }
 
   /** IVF query: probe the nprobe nearest clusters per query, exact cosine
     * within the probed candidate set. */
@@ -112,6 +121,7 @@ object Ann {
       queries: DataFrame, // (q_id, qvec)
       k: Int,
       nprobe: Int): DataFrame = {
+    register(index.sparkSession)
     // probe selection runs as a narrow array expression per query row:
     // distance to every centroid, array_sort on (d, cluster) — the same
     // tie-break as the old window — then slice the first nprobe.

@@ -540,15 +540,19 @@ object Queries {
   private val qEmbNearDup = Q(
     "q34_emb_neardup",
     (s, dir) => {
-      val dims = embDims(s, dir).select(col("vec_id"), col("i"), col("x"))
-      val l = dims.toDF("a", "i", "xa")
-      val r = dims.toDF("b", "i", "xb")
-      l.join(r, Seq("i"))
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b")
-        .agg((sum(col("xa") * col("xb")) /
-          (sqrt(sum(col("xa") * col("xa"))) * sqrt(sum(col("xb") * col("xb"))))).as("cos"))
-        .select(col("a"), col("b"), round(col("cos"), 6).as("r_cos"))
+      // engine form: broadcast nested-loop over whole vectors with the
+      // codegen'd array cosine — O(n^2) pairs x O(d) flops in one narrow
+      // stage, NOT the O(n^2 * d)-row dims-explode join (which would
+      // shuffle 400M rows at sf0.1 and drown at any real scale). The
+      // oracle keeps the dims-join form; values match because the per-pair
+      // dot product is the same left-to-right fold DuckDB's sum computes.
+      Ann.register(s)
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val l = vecs.toDF("a", "va")
+      val r = vecs.toDF("b", "vb")
+      l.join(broadcast(r), col("a") < col("b"))
+        .select(col("a"), col("b"), round(Ann.cosine(col("va"), col("vb")), 6).as("r_cos"))
         .filter(col("r_cos") >= 0.44) // threshold on the ROUNDED value: the
         // raw double differs across engines by summation order at ~1e-15
         .orderBy("a", "b")
