@@ -68,6 +68,39 @@ object Streaming {
       }
   }
 
+  /** Production-shaped sink path: file source (one file per micro-batch)
+    * -> event-time watermark -> tumbling-window agg -> APPEND-mode parquet
+    * file sink with a checkpoint. This is the deploy topology (the
+    * memory-sink twins above exist for the synchronous batch oracles):
+    * append + watermark emits each window exactly once when the watermark
+    * passes it, and the checkpoint makes restarts exactly-once — a
+    * restarted query reprocesses nothing and never duplicates a window.
+    * Returns the running query; callers drive/stop it. */
+  def hourlyToParquetSink(
+      spark: SparkSession,
+      eventsDir: String,
+      outDir: String,
+      checkpointDir: String,
+      watermark: String = "2 hours"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // watermark advances per file
+      .parquet(eventsDir)
+      // watermarks need TIMESTAMP (events tables may carry TIMESTAMP_NTZ);
+      // sessions run in UTC so the instant is unchanged
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+    agg.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+  }
+
   /** Drive sessionize as a real streaming query over the events table. */
   def sessionizeStream(spark: SparkSession, eventsPath: String): DataFrame = {
     import spark.implicits._

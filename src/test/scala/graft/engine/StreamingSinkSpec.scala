@@ -1,0 +1,78 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Production streaming topology: file source -> watermark -> append-mode
+  * parquet sink + checkpoint. Verifies (1) finalized windows match the
+  * batch computation, (2) a checkpointed RESTART with new data appends
+  * only newly-finalized windows — no reprocessing, no duplicates. */
+class StreamingSinkSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]").appName("streaming-sink-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  test("append-mode parquet sink with watermark finalizes windows exactly once across restarts") {
+    import spark.implicits._
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .orderBy("ts", "event_id")
+    val n = events.count().toInt
+    val rows = events.collect()
+    val base = java.nio.file.Files.createTempDirectory("ssink").toString
+    val srcDir = s"$base/src"
+    val outDir = s"$base/out"
+    val ckDir = s"$base/ck"
+    new java.io.File(srcDir).mkdirs()
+    def writeChunk(slice: Array[org.apache.spark.sql.Row], name: String): Unit = {
+      // the file stream source lists FILES, not parquet dirs: write the
+      // chunk via the parquet writer, then surface its single part file
+      // flat under srcDir
+      val tmp = s"$base/tmp_$name"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(slice.toSeq, 1), events.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(srcDir, s"$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeChunk(rows.slice(0, n / 3), "c1")
+    writeChunk(rows.slice(n / 3, 2 * n / 3), "c2")
+
+    def runOnce(): Unit = {
+      val q = Streaming.hourlyToParquetSink(spark, srcDir, outDir, ckDir, watermark = "1 hour")
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val firstCount = spark.read.parquet(outDir).count()
+    assert(firstCount > 0, "no windows finalized after two micro-batches")
+    // no duplicate (window, type) keys
+    val dup1 = spark.read.parquet(outDir)
+      .groupBy("hour_start", "event_type").count().filter(col("count") > 1).count()
+    assert(dup1 == 0)
+
+    // restart from the checkpoint with a third chunk: only NEW windows append
+    writeChunk(rows.slice(2 * n / 3, n), "c3")
+    runOnce()
+    val after = spark.read.parquet(outDir)
+    assert(after.count() > firstCount, "restart appended nothing")
+    val dup2 = after.groupBy("hour_start", "event_type").count().filter(col("count") > 1).count()
+    assert(dup2 == 0, "restart duplicated finalized windows")
+
+    // every finalized window matches the batch computation exactly
+    val batch = spark.read.parquet(srcDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+    val mismatched = after.as("s").join(batch.as("b"),
+        Seq("hour_start", "event_type"))
+      .filter(col("s.n") =!= col("b.n") || col("s.sum_value") =!= col("b.sum_value"))
+      .count()
+    assert(mismatched == 0, "finalized windows diverge from batch values")
+  }
+}
