@@ -18,7 +18,8 @@ object ScalingBench {
 
   final case class Result(
       cores: Int, wallSec: Double, pages: Long, pagesPerSec: Double,
-      nodes: Long, nodesPerSec: Double, joinRows: Long)
+      nodes: Long, nodesPerSec: Double, joinRows: Long,
+      traceSec: Double = 0, polysSec: Double = 0, joinSec: Double = 0)
 
   def runOnce(cores: Int, nPages: Long, hgtFiles: Seq[String]): Result = {
     val spark = SparkSession.builder()
@@ -37,6 +38,7 @@ object ScalingBench {
         println(f"[scaling:$cores] $tag: ${(now - since) / 1e9}%.1f s")
         now
       }
+      def secs(a: Long, b: Long): Double = (b - a) / 1e9
       // raster side: chop + trace (count-only agg: the serializer prunes
       // coords, so no coordinate arrays cross the agg). Fine partitions
       // (8x cores) keep spatially-skewed tile costs balanced — the last
@@ -75,10 +77,11 @@ object ScalingBench {
       // too (synth/Pages.scala concentrates mass at (6.25, 43.25))
       val saltedRows = SpatialJoin.pipJoinSalted(pages, polys, res, salts = cores).count()
       require(saltedRows == joinRows, s"salted join mismatch: $saltedRows vs $joinRows")
-      lap("pages+join", t2)
+      val t3 = lap("pages+join", t2)
       val wall = (System.nanoTime() - t0) / 1e9
       contours.unpersist()
-      Result(cores, wall, nPages, nPages / wall, nodes, nodes / wall, joinRows)
+      Result(cores, wall, nPages, nPages / wall, nodes, nodes / wall, joinRows,
+        secs(t0, t1), secs(t1, t2), secs(t2, t3))
     } finally spark.stop()
   }
 
@@ -120,7 +123,8 @@ object ScalingBench {
     val files = demFiles()
     runOnce(cores, nPages, files) // discard: JIT/codegen warm-up
     val best = (1 to reps).map(_ => runOnce(cores, nPages, files)).minBy(_.wallSec)
-    println(f"RESULT ${best.cores} ${best.wallSec}%.3f ${best.pages} ${best.nodes} ${best.joinRows}")
+    println(f"RESULT ${best.cores} ${best.wallSec}%.3f ${best.pages} ${best.nodes} ${best.joinRows} " +
+      f"${best.traceSec}%.3f ${best.polysSec}%.3f ${best.joinSec}%.3f")
   }
 
   /** Spawn a fresh JVM for one core level (separate GC/JIT per "cluster"). */
@@ -154,9 +158,10 @@ object ScalingBench {
     lines.filter(l => l.contains("[scaling:")).foreach(l => System.err.println(s"[child] $l"))
     val r = lines.find(_.startsWith("RESULT"))
       .getOrElse(throw new RuntimeException(s"child $cores produced no RESULT"))
-    val Array(_, c, wall, pages, nodes, joinRows) = r.split(" ")
+    val Array(_, c, wall, pages, nodes, joinRows, tr, po, jn) = r.split(" ")
     val w = wall.toDouble
-    Result(c.toInt, w, pages.toLong, pages.toLong / w, nodes.toLong, nodes.toLong / w, joinRows.toLong)
+    Result(c.toInt, w, pages.toLong, pages.toLong / w, nodes.toLong, nodes.toLong / w,
+      joinRows.toLong, tr.toDouble, po.toDouble, jn.toDouble)
   }
 
   /** Pure-CPU burn at `threads`: work units per second THIS host delivers
@@ -264,13 +269,16 @@ object ScalingBench {
     val eff = speedup / (hi.toDouble / lo)
     val sb = new StringBuilder
     sb.append(s"## Scaling run (local[$lo] vs local[$hi], same input)\n\n")
-    sb.append("| cores | wall (s) | pages | pages/sec | contour nodes | nodes/sec | join rows |\n")
-    sb.append("|---|---|---|---|---|---|---|\n")
+    sb.append("| cores | wall (s) | trace (s) | polys (s) | pages+join (s) | pages | pages/sec | contour nodes | nodes/sec | join rows |\n")
+    sb.append("|---|---|---|---|---|---|---|---|---|---|\n")
     Seq(rLo, rHi).foreach { r =>
-      sb.append(f"| ${r.cores} | ${r.wallSec}%.1f | ${r.pages} | ${r.pagesPerSec}%.0f | ${r.nodes} | ${r.nodesPerSec}%.0f | ${r.joinRows} |\n")
+      sb.append(f"| ${r.cores} | ${r.wallSec}%.1f | ${r.traceSec}%.1f | ${r.polysSec}%.1f | ${r.joinSec}%.1f | ${r.pages} | ${r.pagesPerSec}%.0f | ${r.nodes} | ${r.nodesPerSec}%.0f | ${r.joinRows} |\n")
     }
     sb.append(f"\nspeedup ${lo}->${hi} cores: $speedup%.2fx of ${hi / lo}x ideal; ")
-    sb.append(f"**scaling efficiency = $eff%.2f** (target >= 0.8)\n\n")
+    sb.append(f"**scaling efficiency = $eff%.2f** (target >= 0.8)\n")
+    sb.append(f"per phase: trace ${rLo.traceSec / rHi.traceSec}%.2fx (ALU-bound), ")
+    sb.append(f"polys ${rLo.polysSec / rHi.polysSec}%.2fx, ")
+    sb.append(f"pages+join ${rLo.joinSec / rHi.joinSec}%.2fx (scan/shuffle, memory-bound)\n\n")
     val normalized = speedup / rCal
     sb.append("### What this single VM can actually deliver from " + lo + " to " + hi + " threads\n\n")
     sb.append(f"Measured adjacent to the runs above (same thread counts):\n\n")

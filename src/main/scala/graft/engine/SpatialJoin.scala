@@ -93,7 +93,14 @@ object SpatialJoin {
     * a result set for query q is final when it holds >= k candidates whose
     * k-th distance <= ring guarantee (ring * cellSize in degrees). Rings
     * double until every query is final (or the ring spans the data bbox).
-    * Returns (q_id, rank, page_id, dist). */
+    * Returns (q_id, rank, page_id, dist).
+    *
+    * Driver-side state is bounded by k x |queries| result rows plus the
+    * ring cell lists — NOT by |pages|; the per-ring `.collect()` pulls at
+    * most k rows per outstanding query. Queries are a broadcast-sized set
+    * by construction (interactive lookups); a batch kNN over a large query
+    * TABLE should instead cell-join both sides (the q12 oracle-twin
+    * pattern) and let the window do the top-k per query. */
   def knn(
       pages: DataFrame, // needs page_id, lon, lat, cell
       queries: Seq[(Long, Double, Double)],
