@@ -1,0 +1,71 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Banded MinHash-LSH near-duplicate detection, the production
+  * generalization of gate q22 (which pins a single 4-row band against the
+  * DuckDB oracle): `numHashes` minhash functions split into `bands` bands
+  * of r rows; documents sharing ANY band bucket become candidates, so a
+  * pair with Jaccard J is caught with probability 1 - (1 - J^r)^bands —
+  * more bands = higher recall at a given similarity.
+  *
+  * Scale shape: shingling is the O(len) rolling-hash expression
+  * (functions/ShingleHashes), signatures are one hash-aggregation, and
+  * candidates come from an equi-join on (band, bucket) — never an
+  * all-pairs comparison. Exact-Jaccard verification of candidates is
+  * gate q27's intersection join.
+  */
+object Lsh {
+
+  private val P = 1000003L
+
+  /** Deterministic (a, b) parameters for hash j (odd a, nonzero). */
+  private def params(j: Int): (Long, Long) = {
+    val a = (graft.functions.SplitMix64.mix(2L * j + 1) & 0x7fffffffL) | 1L
+    val b = graft.functions.SplitMix64.mix(3L * j + 7) & 0x7fffffffL
+    (a, b)
+  }
+
+  /** MinHash signatures: (idCol, mh0..mh{numHashes-1}) from n-char
+    * rolling-hash shingles of `textCol`. Docs shorter than n are absent. */
+  def signatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val fn = s"shingle_hashes_$n"
+    graft.functions.ShingleHashes.register(spark, fn, n)
+    val sh = docs
+      .filter(length(col(textCol)) >= n)
+      .select(col(idCol), explode(call_function(fn, col(textCol))).as("h"))
+    val aggs = (0 until numHashes).map { j =>
+      val (a, b) = params(j)
+      // reduce h mod P before the affine step: (P-1) * a + b < 2^51 stays
+      // inside a Long under ANSI arithmetic for 31-bit a
+      min(pmod(pmod(col("h"), lit(P)) * lit(a) + lit(b), lit(P))).as(s"mh$j")
+    }
+    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Candidate pairs (doc_a < doc_b) sharing at least one band bucket. */
+  def candidatePairs(sig: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val r = numHashes / bands
+    val sigArr = sig.select(col(idCol),
+      array((0 until numHashes).map(j => col(s"mh$j")): _*).as("sig"))
+    // one row per (doc, band): bucket = hash of (band id, the band's r-slice)
+    val banded = sigArr.select(
+      col(idCol),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $r + 1, $r)))"))
+        .as(Seq("band", "bucket")))
+    banded.as("l")
+      .join(banded.as("r"), Seq("band", "bucket"))
+      .filter(col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
+      .distinct()
+  }
+}

@@ -73,6 +73,30 @@ class PlanSpec extends AnyFunSuite {
     rows.foreach { case (id, h) => assert(h == graft.synth.Pages.mix(id)) }
   }
 
+  test("q20 dedup never puts document text in an exchange key") {
+    val q = Queries.all.find(_.name == "q20_dedup_exact").get
+    val df = q.impl(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Window"), p) // re-keyed off the window form
+    // every hashpartitioning key must be a hash column, not text
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.forall(l => !l.contains("text#")),
+      s"text column in an exchange key:\n${exchanges.mkString("\n")}")
+  }
+
+  test("ann assign/argmin is exchange-free") {
+    import spark.implicits._
+    val vecs = Seq((1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.7, 0.7)))
+      .toDF("vec_id", "vec")
+    val assigned = Ann.assign(vecs, Seq((0, Array(0.0, 1.0)), (1, Array(1.0, 0.0))))
+    val p = plan(assigned)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+    // and it still picks the right clusters
+    val got = assigned.orderBy("vec_id").collect().map(r => r.getInt(0)).toSeq
+    assert(got == Seq(0, 1, 0))
+  }
+
   test("pip/shingle/wrap codegen matches interpreted eval") {
     import spark.implicits._
     // force both paths: default (codegen) vs spark.sql.codegen.factoryMode
