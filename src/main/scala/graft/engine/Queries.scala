@@ -698,6 +698,50 @@ object Queries {
            |FROM events GROUP BY 1, 2 HAVING count(*) >= 3
            |ORDER BY event_type, hour_epoch""".stripMargin))
 
+  private val qBrandRevenue = Q(
+    "q07_brand_revenue",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_lines"),
+          round(avg("p_retailprice"), 4).as("avg_retail"))
+        .orderBy("p_brand", "p_type")
+    },
+    Some("""SELECT p_brand, p_type,
+           | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           | count(*) AS n_lines, round(avg(p_retailprice), 4) AS avg_retail
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY p_brand, p_type ORDER BY p_brand, p_type""".stripMargin))
+
+  private val qRegionSupplier = Q(
+    "q08_region_supplier",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          countDistinct("s_suppkey").as("n_suppliers"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("r_name")
+    },
+    Some("""SELECT r_name,
+           | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           | count(DISTINCT s_suppkey) AS n_suppliers, count(*) AS n_lines
+           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name ORDER BY r_name""".stripMargin))
+
   private val qIvf = Q(
     "q33_ann_ivf",
     (s, dir) => {
@@ -805,6 +849,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     qPricing, qNationRevenue, qTopOrders, qRollup, qSessions, qEventHours,
+    qBrandRevenue, qRegionSupplier,
     qGeoCell, qGeoPip, qGeoKnn, qGeoTiles, qGeoBands,
     qDedupExact, qMinhash, qNearDup, qSimhash, qTextStats, qNgrams,
     qJaccard, qFingerprint, qQuality, qSubwords,
