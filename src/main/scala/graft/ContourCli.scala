@@ -5,11 +5,12 @@ import graft.core.MarchingSquares.GridView
 import java.nio.file.{Files, Paths}
 
 /** Minimal CLI surface over the core kernels (no Spark): decode an .hgt
-  * file, optionally truncate to an area, chop, trace contours, and print
-  * per-tile stats. Mirrors the reference CLI's local-file path
+  * or GeoTIFF file, optionally truncate to an area, chop, trace contours
+  * (reprojecting non-4326 sources to WGS84), and print per-tile stats.
+  * Mirrors the reference CLI's local-file path
   * (/root/reference/pyhgtmap/main.py:19-61) for smoke/verification use.
   *
-  * Usage: ContourCli <file.hgt> [--step N] [--area minLon:minLat:maxLon:maxLat]
+  * Usage: ContourCli <file.hgt|.tif> [--step N] [--area minLon:minLat:maxLon:maxLat]
   *        [--max-nodes-per-tile N] [--max-nodes-per-way N] [--rdp EPS]
   */
 object ContourCli {
@@ -29,10 +30,14 @@ object ContourCli {
       }
     }
     val bytes = Files.readAllBytes(Paths.get(file))
-    val grid = Hgt.decode(bytes, cfg.voidMax)
-    val bbox = Hgt.parseHgtFilename(file)
-    val lonInc = 1.0 / (grid.cols - 1)
-    val latInc = 1.0 / (grid.rows - 1)
+    val (grid, bbox, epsg) =
+      if (Tiff.isTiff(file)) {
+        val t = Tiff.decode(bytes, cfg.voidMax)
+        (t.grid, t.bbox, t.epsg)
+      } else (Hgt.decode(bytes, cfg.voidMax), Hgt.parseHgtFilename(file), 4326)
+    val transform = Crs.toWgs84(epsg)
+    val lonInc = (bbox.maxLon - bbox.minLon) / (grid.cols - 1)
+    val latInc = (bbox.maxLat - bbox.minLat) / (grid.rows - 1)
     println(s"${file}: ${grid.rows} x ${grid.cols} points, bbox: (${bbox.minLon}, ${bbox.minLat}, ${bbox.maxLon}, ${bbox.maxLat})")
     val start = Chop.truncate(cfg.area, bbox, grid.rows, grid.cols, lonInc, latInc)
     val slices = Chop.chop(grid, start, latInc, cfg.contourStepSize, cfg.maxNodesPerTile)
@@ -40,7 +45,7 @@ object ContourCli {
     var totWays = 0L
     slices.zipWithIndex.foreach { case (s, idx) =>
       val gv = new GridView(grid.values, grid.mask, s.rowOff * grid.cols + s.colOff, grid.cols, s.rows, s.cols)
-      val tc = ContourGen.tileContours(gv, s.bbox, lonInc, latInc, cfg)
+      val tc = ContourGen.tileContours(gv, s.bbox, lonInc, latInc, cfg, transform = transform)
       totNodes += tc.nbNodes
       totWays += tc.nbWays
       println(f"tile $idx: ${s.rows} x ${s.cols} points, bbox: (${s.bbox.minLon}%.2f, ${s.bbox.minLat}%.2f, ${s.bbox.maxLon}%.2f, ${s.bbox.maxLat}%.2f), levels ${tc.levels.headOption.getOrElse(0)}..${tc.levels.lastOption.getOrElse(0)}, nodes ${tc.nbNodes}, ways ${tc.nbWays}")
