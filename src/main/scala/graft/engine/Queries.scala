@@ -703,16 +703,19 @@ object Queries {
     (s, dir) => {
       val li = t(s, dir, "lineitem")
       val part = t(s, dir, "part")
+      // exact integer-cents revenue (see q08 note)
+      val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+        .cast("long")
       li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          (sum(cents) / 100.0).as("revenue"),
           count(lit(1)).as("n_lines"),
           round(avg("p_retailprice"), 4).as("avg_retail"))
         .orderBy("p_brand", "p_type")
     },
     Some("""SELECT p_brand, p_type,
-           | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
            | count(*) AS n_lines, round(avg(p_retailprice), 4) AS avg_retail
            |FROM lineitem JOIN part ON l_partkey = p_partkey
            |GROUP BY p_brand, p_type ORDER BY p_brand, p_type""".stripMargin))
@@ -724,18 +727,25 @@ object Queries {
       val sup = t(s, dir, "supplier")
       val nation = t(s, dir, "nation")
       val region = t(s, dir, "region")
+      // revenue summed as exact integer cents: a double sum over ~10^5
+      // values per region differs between engines at the last ulp
+      // (summation order), which flips a 4-decimal round; floor(x*100+0.5)
+      // is computed identically per row on both engines and BIGINT
+      // addition is exact, so the hash can never drift with scale
+      val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+        .cast("long")
       li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
         .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy("r_name")
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          (sum(cents) / 100.0).as("revenue"),
           countDistinct("s_suppkey").as("n_suppliers"),
           count(lit(1)).as("n_lines"))
         .orderBy("r_name")
     },
     Some("""SELECT r_name,
-           | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
            | count(DISTINCT s_suppkey) AS n_suppliers, count(*) AS n_lines
            |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
            |JOIN nation ON s_nationkey = n_nationkey
