@@ -57,13 +57,15 @@ object PipelineCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // --poly: clip polygons apply to BOTH tile enumeration and the per-cell
+    // trace mask (reference checkPoly semantics)
+    val parsedPoly = polyFile.map(graft.core.PolyFile.parseFile)
+    parsedPoly.foreach(p => cfg = cfg.copy(polygons = Some(p.polygons)))
     // reference download-planning flow when no explicit files are given:
     // area/.poly -> tile keys (+polygon prefilter) -> source pool fetch
     if (files.isEmpty && sourcePrefs.nonEmpty) {
-      val (polygons, areaStr) = polyFile match {
-        case Some(p) =>
-          val parsed = graft.core.PolyFile.parseFile(p)
-          (parsed.polygons, parsed.areaString)
+      val (polygons, areaStr) = parsedPoly match {
+        case Some(parsed) => (parsed.polygons, parsed.areaString)
         case None =>
           (Nil, cfg.area.getOrElse {
             System.err.println("--source needs --area or --poly to enumerate tiles"); sys.exit(2)

@@ -81,6 +81,10 @@ final case class JobConfig(
     startWayId: Long = 10000000L,
     lineCatsMajor: Int = 200,
     lineCatsMedium: Int = 100,
+    // WGS84 clip polygons ([lon,lat,...] rings, reference --polygon):
+    // grid cells outside every polygon are masked before tracing, and
+    // fully-outside tiles are dropped (file.py:732-768)
+    polygons: Option[Seq[Array[Double]]] = None,
     osmVersion: Double = 0.6, // reference --osm-version (cli.py:158)
     // epoch seconds to stamp entities with (reference --write-timestamp,
     // output/osmUtil.py:59-62); injected rather than wall-clock so output

@@ -38,7 +38,11 @@ object RasterPipeline {
       rowOff: Int, rows: Int, colOff: Int, cols: Int,
       fullCols: Int,
       lonInc: Double, latInc: Double,
-      epsg: Int = 4326)
+      epsg: Int = 4326,
+      // true when the tile straddles a clip-polygon border (reference
+      // checkPoly): the trace stage recomputes the cell mask; fully-inside
+      // tiles skip it, fully-outside tiles were dropped at plan time
+      checkPoly: Boolean = false)
 
   final case class ContourRow(
       key: String,
@@ -67,7 +71,23 @@ object RasterPipeline {
     (grid, bbox0, epsg)
   }
 
-  /** Scan + decode + chop: one lightweight spec row per tile. */
+  /** WGS84 grid axes of a tile slice (native axes reprojected when the
+    * source CRS differs; 3857<->4326 is axis-separable so the row-major
+    * mask factorization of polygon_mask survives the transform). */
+  private def wgs84Axes(bbox: BBox, rows: Int, cols: Int, lonInc: Double, latInc: Double,
+      epsg: Int): (Array[Double], Array[Double]) = {
+    val xs = Array.tabulate(cols)(c => bbox.minLon + c * lonInc)
+    val ys = Array.tabulate(rows)(r => bbox.maxLat - r * latInc)
+    Crs.toWgs84(epsg) match {
+      case None => (xs, ys)
+      case Some(f) => (xs.map(x => f(x, 0.0)._1), ys.map(y => f(0.0, y)._2))
+    }
+  }
+
+  /** Scan + decode + chop: one lightweight spec row per tile. Clip-polygon
+    * semantics follow the reference's make_tiles (file.py:732-768): tiles
+    * fully outside the polygons are dropped here; border tiles are flagged
+    * checkPoly and masked cell-wise at trace time. */
   def tiles(spark: SparkSession, paths: Seq[String], cfg: JobConfig): Dataset[DemTileRow] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(paths: _*)
@@ -83,9 +103,21 @@ object RasterPipeline {
           "--area is WGS84; truncation of non-4326 sources is unsupported")
         val start = Chop.truncate(cfg.area, bbox, grid.rows, grid.cols, lonInc, latInc)
         val slices = Chop.chop(grid, start, latInc, cfg.contourStepSize, cfg.maxNodesPerTile)
-        slices.zipWithIndex.map { case (s, idx) =>
-          DemTileRow(key, idx, path, s.bbox.minLon, s.bbox.minLat, s.bbox.maxLon, s.bbox.maxLat,
-            s.rowOff, s.rows, s.colOff, s.cols, grid.cols, lonInc, latInc, epsg)
+        slices.zipWithIndex.flatMap { case (s, idx) =>
+          val checkPoly = cfg.polygons match {
+            case None => Some(false)
+            case Some(polys) =>
+              val (xs, ys) = wgs84Axes(s.bbox, s.rows, s.cols, lonInc, latInc, epsg)
+              Geometry.polygonMask(xs, ys, polys) match {
+                case Geometry.AllOutside => None // drop: tile outside every polygon
+                case Geometry.AllInside => Some(false)
+                case _: Geometry.Mixed => Some(true)
+              }
+          }
+          checkPoly.map { cp =>
+            DemTileRow(key, idx, path, s.bbox.minLon, s.bbox.minLat, s.bbox.maxLon, s.bbox.maxLat,
+              s.rowOff, s.rows, s.colOff, s.cols, grid.cols, lonInc, latInc, epsg, cp)
+          }
         }
       }
   }
@@ -149,7 +181,35 @@ object RasterPipeline {
         val scratch = new Scratch
         it.flatMap { tr =>
           val g = GridCache.grid(tr.path, voidMax, smoothRatio, feetSteps)
-          val gv = new GridView(g.values, g.mask, tr.rowOff * tr.fullCols + tr.colOff, tr.fullCols, tr.rows, tr.cols)
+          val base = tr.rowOff * tr.fullCols + tr.colOff
+          // checkPoly: OR the polygon-outside mask into (a copy of) the
+          // void mask for this tile's window — outside-polygon cells trace
+          // like voids, the reference's border-tile semantics
+          val mask: Array[Boolean] =
+            if (tr.checkPoly && cfg.polygons.isDefined) {
+              val (xs, ys) = wgs84Axes(BBox(tr.minLon, tr.minLat, tr.maxLon, tr.maxLat),
+                tr.rows, tr.cols, tr.lonInc, tr.latInc, tr.epsg)
+              Geometry.polygonMask(xs, ys, cfg.polygons.get) match {
+                case Geometry.Mixed(pm) =>
+                  val m = if (g.mask != null) g.mask.clone() else new Array[Boolean](g.values.length)
+                  var r = 0
+                  while (r < tr.rows) {
+                    var c = 0
+                    while (c < tr.cols) {
+                      if (pm(r * tr.cols + c)) m(base + r * tr.fullCols + c) = true
+                      c += 1
+                    }
+                    r += 1
+                  }
+                  m
+                case Geometry.AllOutside => // possible under re-chop drift; mask all
+                  val m = new Array[Boolean](g.values.length)
+                  java.util.Arrays.fill(m, true)
+                  m
+                case Geometry.AllInside => g.mask
+              }
+            } else g.mask
+          val gv = new GridView(g.values, mask, base, tr.fullCols, tr.rows, tr.cols)
           val bbox = BBox(tr.minLon, tr.minLat, tr.maxLon, tr.maxLat)
           // F10: non-4326 sources trace in native grid space; paths are
           // reprojected to WGS84 before RDP/split (reference order), and
