@@ -42,6 +42,16 @@ object PipelineCli {
         case "--write-timestamp" => // epoch seconds (deterministic, injectable)
           cfg = cfg.copy(writeTimestamp = Some(args(i + 1).toLong)); i += 2
         case "--smooth" => cfg = cfg.copy(smoothRatio = args(i + 1).toDouble); i += 2
+        case "--no-zero" => cfg = cfg.copy(noZero = true); i += 1 // ref --no-zero-contour
+        case "--min-cont" => cfg = cfg.copy(minCont = Some(args(i + 1).toInt)); i += 2
+        case "--max-cont" => cfg = cfg.copy(maxCont = Some(args(i + 1).toInt)); i += 2
+        case "--feet" => cfg = cfg.copy(feetSteps = true); i += 1
+        case "--void-max" => cfg = cfg.copy(voidMax = args(i + 1).toInt); i += 2
+        case "--start-node-id" => cfg = cfg.copy(startNodeId = args(i + 1).toLong); i += 2
+        case "--start-way-id" => cfg = cfg.copy(startWayId = args(i + 1).toLong); i += 2
+        case "--line-cat" => // ref --line-cat MAJOR,MEDIUM
+          val Array(maj, med) = args(i + 1).split(',').map(_.toInt)
+          cfg = cfg.copy(lineCatsMajor = maj, lineCatsMedium = med); i += 2
         case "--source" => sourcePrefs = args(i + 1).split(',').toSeq; i += 2
         case "--poly" => polyFile = Some(args(i + 1)); i += 2
         case "--cache" => cacheRoot = args(i + 1); i += 2
