@@ -64,6 +64,48 @@ final class LocalDirSource extends DemSource {
   }
 }
 
+/** Archive-mirror source: the downloader shape of the reference's
+  * viewfinder/ALOS sources (sources/viewfinder.py, sources/alos.py) minus
+  * the network — tiles ship in multi-tile ZIP archives named by their
+  * ALOS-style 5-degree group (`N040E005.zip` holds N43E006.hgt ...), the
+  * archive is fetched from a mirror URI (any Hadoop-FS scheme; file:// in
+  * this sandbox), unpacked, and every member tile lands in the cache so
+  * neighbouring fetches hit warm. */
+final class ArchiveSource(mirrorBase: String) extends DemSource {
+  val nickname = "arch"
+  override def fetch(cacheRoot: String, key: String, resolution: Int): Option[String] = {
+    if (!supportedResolutions.contains(resolution)) return None
+    val dir = cacheDir(cacheRoot, resolution)
+    val cached = s"$dir/$key.hgt"
+    if (validCached(cached, resolution)) return Some(cached)
+    val bbox = try graft.core.Hgt.parseHgtFilename(s"$key.hgt") catch { case _: Exception => return None }
+    val group = graft.core.Hgt.alosGroupKey(bbox.minLat.toInt, bbox.minLon.toInt)
+    val archive = s"$mirrorBase/$group.zip"
+    if (!graft.core.Fs.exists(archive)) return None
+    new java.io.File(dir).mkdirs()
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.BufferedInputStream(graft.core.Fs.open(archive), 1 << 16))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        val name = e.getName.split('/').last
+        if (!e.isDirectory && name.endsWith(".hgt")) {
+          // extract every member: the whole group is paid for once
+          val tmp = java.nio.file.Paths.get(dir, s".$name.tmp")
+          java.nio.file.Files.copy(zin, tmp,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    if (validCached(cached, resolution)) Some(cached) else None
+  }
+}
+
 object Sources {
   private val registry = scala.collection.concurrent.TrieMap.empty[String, DemSource]
 
@@ -74,6 +116,10 @@ object Sources {
 
   register(new SynthSource)
   register(new LocalDirSource)
+  // archive mirror base resolves from the environment so spark-submit can
+  // point it at the cluster's mirror; default matches the test layout
+  register(new ArchiveSource(
+    sys.env.getOrElse("SPARK_GRAFT_ARCHIVE_MIRROR", "/tmp/graft_mirror")))
 
   def get(nickname: String): Option[DemSource] = registry.get(nickname.toLowerCase)
 
