@@ -91,11 +91,19 @@ object PipelineCli {
       files ++= fetched.map(_.getString(2))
     }
     val t0 = System.nanoTime()
-    val report = RasterPipeline.runResumable(spark, files.toSeq, outDir, cfg, format)
-    val secs = (System.nanoTime() - t0) / 1e9
-    report.files.foreach(println)
-    println(f"tiles: ${report.tilesTotal} total, ${report.tilesSkipped} skipped (committed), " +
-      f"${report.tilesWritten} written in $secs%.1f s")
+    if (cfg.maxNodesPerTile == 0L) {
+      // reference semantics: --max-nodes-per-tile 0 = ONE merged output
+      val out = RasterPipeline.runSingle(spark, files.toSeq, outDir, cfg, format)
+      val secs = (System.nanoTime() - t0) / 1e9
+      out.foreach(println)
+      println(f"single output: ${files.size} inputs merged in $secs%.1f s")
+    } else {
+      val report = RasterPipeline.runResumable(spark, files.toSeq, outDir, cfg, format)
+      val secs = (System.nanoTime() - t0) / 1e9
+      report.files.foreach(println)
+      println(f"tiles: ${report.tilesTotal} total, ${report.tilesSkipped} skipped (committed), " +
+        f"${report.tilesWritten} written in $secs%.1f s")
+    }
     spark.stop()
   }
 }

@@ -356,6 +356,26 @@ object RasterPipeline {
     } finally cs.unpersist()
   }
 
+  /** Single-output mode (reference --max-nodes-per-tile 0,
+    * processor.py:273-336): every input merges into ONE file named from
+    * the union bbox, all nodes before all ways, contiguous global ids.
+    * Not resumable (one file = one commit unit), same as the reference. */
+  def runSingle(spark: SparkSession, paths: Seq[String], outDir: String, cfg: JobConfig,
+      format: String = graft.sinks.TileSink.OsmXmlFormat): Seq[String] = {
+    graft.core.Fs.mkdirs(outDir)
+    val ts = tiles(spark, paths, cfg)
+    val cs = contours(ts, cfg).persist()
+    try {
+      val offs = idOffsets(cs, cfg)
+      val boxes = ts.collect().map(t => BBox(t.minLon, t.minLat, t.maxLon, t.maxLat))
+      require(boxes.nonEmpty, "no tiles to write")
+      val union = TileKeys.areaUnion(boxes.toSeq)
+      val name = graft.sinks.TileSink.fileName(union, "", format)
+      writeOsmXml(cs, offs, outDir, cfg,
+        singleFileName = Some(name), format = format, singleBBox = Some(union))
+    } finally cs.unpersist()
+  }
+
   final case class RunReport(
       tilesTotal: Int, tilesSkipped: Int, tilesWritten: Int, files: Seq[String])
 

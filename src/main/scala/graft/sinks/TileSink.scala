@@ -19,7 +19,8 @@ object TileSink {
   val XyzFormat = "xyz" // debug triples, reference HgtTile.plotData
 
   def fileName(bbox: BBox, key: String, format: String): String = {
-    val base = OsmXml.tileFileName(bbox.minLon, bbox.minLat, bbox.maxLon, bbox.maxLat, suffix = s"_$key")
+    val base = OsmXml.tileFileName(bbox.minLon, bbox.minLat, bbox.maxLon, bbox.maxLat,
+      suffix = if (key.isEmpty) "" else s"_$key")
     format match {
       case OsmGzFormat => base + ".gz"
       case O5mFormat => base.stripSuffix(".osm") + ".o5m"
