@@ -47,6 +47,8 @@ object PipelineCli {
         case "--max-cont" => cfg = cfg.copy(maxCont = Some(args(i + 1).toInt)); i += 2
         case "--feet" => cfg = cfg.copy(feetSteps = true); i += 1
         case "--void-max" => cfg = cfg.copy(voidMax = args(i + 1).toInt); i += 2
+        case "--corrx" => cfg = cfg.copy(corrx = args(i + 1).toDouble); i += 2
+        case "--corry" => cfg = cfg.copy(corry = args(i + 1).toDouble); i += 2
         case "--start-node-id" => cfg = cfg.copy(startNodeId = args(i + 1).toLong); i += 2
         case "--start-way-id" => cfg = cfg.copy(startWayId = args(i + 1).toLong); i += 2
         case "--line-cat" => // ref --line-cat MAJOR,MEDIUM

@@ -85,6 +85,10 @@ final case class JobConfig(
     // grid cells outside every polygon are masked before tracing, and
     // fully-outside tiles are dropped (file.py:732-768)
     polygons: Option[Seq[Array[Double]]] = None,
+    // WGS84 bbox correction offsets (reference --corrx/--corry, applied in
+    // parse_hgt_filename / parse_geotiff_bbox for slightly misaligned DEMs)
+    corrx: Double = 0.0,
+    corry: Double = 0.0,
     osmVersion: Double = 0.6, // reference --osm-version (cli.py:158)
     // epoch seconds to stamp entities with (reference --write-timestamp,
     // output/osmUtil.py:59-62); injected rather than wall-clock so output

@@ -60,12 +60,21 @@ object RasterPipeline {
     * GeoTIFF per reference init_as_geotiff (file.py:500-555); HGT per
     * init_as_hgt (file.py:449-498). */
   private def decodeDem(path: String, bytes: Array[Byte], voidMax: Int,
-      smoothRatio: Double, feetSteps: Boolean): (Grid, BBox, Int) = {
+      smoothRatio: Double, feetSteps: Boolean,
+      corrx: Double = 0.0, corry: Double = 0.0): (Grid, BBox, Int) = {
     val (raw, bbox0, epsg) =
       if (Tiff.isTiff(path)) {
         val t = Tiff.decode(bytes, voidMax)
-        (t.grid, t.bbox, t.epsg)
-      } else (Hgt.decode(bytes, voidMax), Hgt.parseHgtFilename(path), 4326)
+        // corrx/corry are WGS84 corrections; the reference round-trips
+        // them through the CRS for projected sources (file.py:218-242) —
+        // identity for 4326, and unsupported here for non-4326 (loud)
+        val b = t.bbox
+        require(t.epsg == 4326 || (corrx == 0.0 && corry == 0.0),
+          "--corrx/--corry on non-4326 sources is unsupported")
+        (t.grid, BBox(b.minLon + corrx, b.minLat + corry, b.maxLon + corrx, b.maxLat + corry),
+          t.epsg)
+      } else
+        (Hgt.decode(bytes, voidMax), Hgt.parseHgtFilename(path, corrx, corry), 4326)
     val zoomed = if (smoothRatio != 1.0) Resample.zoom(raw, smoothRatio) else raw
     val grid = if (feetSteps) Hgt.toFeet(zoomed) else zoomed
     (grid, bbox0, epsg)
@@ -96,7 +105,7 @@ object RasterPipeline {
       .flatMap { case (path, bytes) =>
         val key = path.split('/').last.replaceAll("\\.(hgt|tif|tiff)$", "")
         val (grid, bbox, epsg) =
-          decodeDem(path, bytes, cfg.voidMax, cfg.smoothRatio, cfg.feetSteps)
+          decodeDem(path, bytes, cfg.voidMax, cfg.smoothRatio, cfg.feetSteps, cfg.corrx, cfg.corry)
         val lonInc = (bbox.maxLon - bbox.minLon) / (grid.cols - 1)
         val latInc = (bbox.maxLat - bbox.minLat) / (grid.rows - 1)
         require(epsg == 4326 || cfg.area.isEmpty,

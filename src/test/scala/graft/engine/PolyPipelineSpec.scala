@@ -56,6 +56,15 @@ class PolyPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("corrx/corry shift the tile bbox (reference --corrx/--corry)") {
+    assume(available)
+    val cfg = JobConfig(contourStepSize = 100, maxNodesPerTile = 0L,
+      corrx = 0.0004, corry = -0.0004)
+    val t = RasterPipeline.tiles(spark, Seq(fixture), cfg).collect().head
+    assert(math.abs(t.minLon - 6.0004) < 1e-9 && math.abs(t.maxLon - 7.0004) < 1e-9)
+    assert(math.abs(t.minLat - 42.9996) < 1e-9 && math.abs(t.maxLat - 43.9996) < 1e-9)
+  }
+
   test("polygon fully containing the tile leaves output identical") {
     assume(available)
     val base = JobConfig(contourStepSize = 100, maxNodesPerTile = 0L,
