@@ -58,6 +58,15 @@ object Fs {
     fs(path).exists(p)
   }
 
+  /** File length, or -1 when absent / not a file. */
+  def fileLength(path: String): Long = {
+    val p = new Path(path)
+    val f = fs(path)
+    if (!f.exists(p)) return -1L
+    val st = f.getFileStatus(p)
+    if (st.isFile) st.getLen else -1L
+  }
+
   def delete(path: String): Boolean = {
     val p = new Path(path)
     fs(path).delete(p, false)

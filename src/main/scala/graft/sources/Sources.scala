@@ -27,16 +27,27 @@ trait DemSource {
     * cacheRoot; None if this source cannot provide it. */
   def fetch(cacheRoot: String, key: String, resolution: Int): Option[String]
 
+  /** Keys this source can currently provide WITHOUT fetching (the
+    * reference's per-source index files, NASASRTMUtil.py:163-290). The
+    * default indexes the local cache; sources with a remote catalogue
+    * override. An empty index does not mean fetch() would fail — the
+    * synthesizer can produce any key. */
+  def index(cacheRoot: String, resolution: Int): Seq[String] =
+    graft.core.Fs.listFiles(cacheDir(cacheRoot, resolution))
+      .filter(p => p.endsWith(".hgt") && validCached(p, resolution))
+      .map(_.split('/').last.stripSuffix(".hgt"))
+
   final def cacheDir(cacheRoot: String, resolution: Int): String =
     s"$cacheRoot/${nickname.toUpperCase}$resolution"
 
-  /** Exact-size validation of a cached hgt (reference check_cached_file). */
+  /** Exact-size validation of a cached hgt (reference check_cached_file);
+    * Hadoop-FS path so any scheme (and Fs.listFiles URIs) validate. */
   final def validCached(path: String, resolution: Int): Boolean = {
-    val f = new java.io.File(path)
-    if (!f.isFile) return false
+    val len = graft.core.Fs.fileLength(path)
+    if (len < 0) return false
     if (!path.endsWith(".hgt")) return true
     val side = 3600 / resolution + 1
-    f.length == 2L * side * side
+    len == 2L * side * side
   }
 }
 
@@ -104,6 +115,30 @@ final class ArchiveSource(mirrorBase: String) extends DemSource {
     } finally zin.close()
     if (validCached(cached, resolution)) Some(cached) else None
   }
+
+  /** Mirror catalogue: every .hgt member of every group archive. */
+  override def index(cacheRoot: String, resolution: Int): Seq[String] = {
+    val cachedKeys = super.index(cacheRoot, resolution)
+    val archived = graft.core.Fs.listFiles(mirrorBase)
+      .filter(_.endsWith(".zip"))
+      .flatMap { archive =>
+        val zin = new java.util.zip.ZipInputStream(
+          new java.io.BufferedInputStream(graft.core.Fs.open(archive), 1 << 16))
+        try {
+          val names = scala.collection.mutable.ArrayBuffer.empty[String]
+          var e = zin.getNextEntry
+          while (e != null) {
+            val name = e.getName.split('/').last
+            if (!e.isDirectory && name.endsWith(".hgt"))
+              names += name.stripSuffix(".hgt")
+            zin.closeEntry()
+            e = zin.getNextEntry
+          }
+          names.toSeq
+        } finally zin.close()
+      }
+    (cachedKeys ++ archived).distinct
+  }
 }
 
 object Sources {
@@ -138,6 +173,21 @@ object Sources {
       require(src.supportedResolutions.contains(res), s"$nick does not support ${res}s resolution")
       (src, res)
     }
+
+  /** Availability index across preference-ordered sources (S13): one
+    * (key, source) row per providable tile — the exact input shape of
+    * TileKeys.resolveSources' priority pick. */
+  def buildIndex(
+      spark: SparkSession,
+      cacheRoot: String,
+      prefs: Seq[String]): DataFrame = {
+    import spark.implicits._
+    parsePreference(prefs)
+      .flatMap { case (src, res) =>
+        src.index(cacheRoot, res).map(k => (k, s"${src.nickname}$res"))
+      }
+      .toDF("key", "source")
+  }
 
   /** Distributed pool fetch: resolve every wanted key to the first
     * preference-ordered source that provides it (reference pool.py

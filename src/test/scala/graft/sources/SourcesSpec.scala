@@ -73,6 +73,29 @@ class SourcesSpec extends AnyFunSuite {
     // this direct-instance test pins the unpack/caching contract)
   }
 
+  test("availability index feeds the priority pick (S13 -> J2)") {
+    val root = java.nio.file.Files.createTempDirectory("idxroot").toString
+    val syn = new SynthSource
+    // cache holds N30E030 under LOCL3 and N31E030 under LOCL1
+    Seq((3, "N30E030"), (1, "N31E030")).foreach { case (res, k) =>
+      val side = 3600 / res + 1
+      val d = s"$root/LOCL$res"
+      new java.io.File(d).mkdirs()
+      graft.synth.SynthDem.writeHgt(d, k.substring(1, 3).toInt, k.substring(4).toInt, side)
+    }
+    val idx = Sources.buildIndex(spark, root, Seq("locl1", "locl3"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(idx == Set(("N30E030", "locl3"), ("N31E030", "locl1")))
+    // and the priority pick resolves per preference order
+    val resolved = graft.engine.TileKeys.resolveSources(
+        spark,
+        Seq(("N30E030", false), ("N31E030", false), ("N99E099", false)),
+        Sources.buildIndex(spark, root, Seq("locl1", "locl3")),
+        Seq("locl1", "locl3"))
+      .collect().map(r => (r.getString(1), r.getString(0))).toMap
+    assert(resolved == Map("locl3" -> "N30E030", "locl1" -> "N31E030"))
+  }
+
   test("pool resolves each key to the first providing source, distributed") {
     val root = java.nio.file.Files.createTempDirectory("poolroot").toString
     // provision locl3 with ONE key so preference order is observable
