@@ -38,5 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("sq_dist_vec"), info("sq_dist_vec"),
         (exprs: Seq[Expression]) => SqDistVec(exprs(0), exprs(1))))
+    Seq(8, 12, 16).foreach { level =>
+      ext.injectFunction(
+        (FunctionIdentifier(s"hilbert_cell_$level"), info(s"hilbert_cell_$level"),
+          (exprs: Seq[Expression]) => graft.functions.HilbertCell(exprs(0), exprs(1), level)))
+    }
   }
 }

@@ -89,6 +89,23 @@ object SpatialJoin {
       .drop("salt")
   }
 
+  /** Locality-preserving repartition: range-partition on the Hilbert-curve
+    * cell id (S2-style space-filling index, core/Hilbert.scala) so each
+    * partition covers a spatially COMPACT area. Hash partitioning scatters
+    * neighbours across every partition; Hilbert ranges keep them together,
+    * which is what makes partition-pruned spatial reads and neighbour-local
+    * shuffles work at 10^12 rows (write clustering + join locality). */
+  def clusterSpatially(
+      df: DataFrame,
+      lonCol: String,
+      latCol: String,
+      level: Int,
+      partitions: Int): DataFrame = {
+    val fn = s"hilbert_cell_$level"
+    graft.functions.HilbertCell.register(df.sparkSession, fn, level)
+    df.repartitionByRange(partitions, call_function(fn, col(lonCol), col(latCol)))
+  }
+
   /** Exact kNN via k-ring candidate join with provable termination:
     * a result set for query q is final when it holds >= k candidates whose
     * k-th distance <= ring guarantee (ring * cellSize in degrees). Rings
