@@ -377,6 +377,65 @@ object Queries {
             | GROUP BY doc_id, b)
             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** 32-bit SimHash banded near-dup: candidates share at least one of four
+    * 8-bit bands of the simhash (never all-pairs), then verify by Hamming
+    * distance <= 1 (the synthetic corpus shares one small vocabulary, so
+    * 32-bit simhashes cluster tightly - a loose cut would pass most
+    * pairs). The simhash-side twin of the MinHash-LSH pipeline. */
+  private val qSimhashNearDup = Q(
+    "q36_simhash_neardup",
+    (s, dir) => {
+      val sh = shingles8(s, dir) // 8-char shingles: wider hash, simhashes
+      // spread enough that band buckets stay small (4-gram simhashes on
+      // this shared-vocabulary corpus collapse into a handful of buckets)
+      // 32 conditional sums in ONE aggregation pass — no 32x row explode
+      // (at sf0.1 the exploded form pushes 40M rows through the shuffle;
+      // this shape shuffles 5000 rows of 32 columns). Oracle keeps the
+      // exploded SQL; the vote arithmetic is identical.
+      val votes = (0 until 32).map { b =>
+        // BIGINT shift base: shiftleft(1, 31) on an INT literal wraps to
+        // -2^31 and flips the top bit's vote
+        sum(when(expr(s"(h div shiftleft(CAST(1 AS BIGINT), $b)) % 2 = 1"), 1).otherwise(-1)).as(s"sw$b")
+      }
+      val sig = sh.groupBy("doc_id")
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          (0 until 32).map { b =>
+            when(col(s"sw$b") > 0, lit(1L << b)).otherwise(lit(0L))
+          }.reduce(_ + _).as("sh32"))
+      val banded = sig.select(col("doc_id"), col("sh32"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bucket", expr("(sh32 div shiftleft(CAST(1 AS BIGINT), band * 8)) % 256"))
+      val cand = banded.toDF("doc_a", "sh_a", "band", "bucket")
+        .join(banded.toDF("doc_b", "sh_b", "band", "bucket"), Seq("band", "bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+      cand
+        .withColumn("hamming", expr("bit_count(CAST(sh_a AS BIGINT) ^ CAST(sh_b AS BIGINT))"))
+        .filter(col("hamming") <= 1)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH sig AS (
+            | SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS sh32 FROM (
+            |  SELECT doc_id, b, CASE WHEN sum(w) > 0 THEN (1::BIGINT << b) ELSE 0 END AS bitval
+            |  FROM (SELECT doc_id, h, b,
+            |         CASE WHEN (h // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END AS w
+            |        FROM ($shingles8Sql), LATERAL unnest(generate_series(0, 31)) AS t2(b))
+            |  GROUP BY doc_id, b)
+            | GROUP BY doc_id),
+            |banded AS (
+            | SELECT doc_id, sh32, band, (sh32 // (1::BIGINT << (band * 8))) % 256 AS bucket
+            | FROM sig, LATERAL unnest(generate_series(0, 3)) AS t(band)),
+            |cand AS (
+            | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh32 AS sh_a, b.sh32 AS sh_b
+            | FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+            |  AND a.doc_id < b.doc_id)
+            |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+            |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 1
+            |ORDER BY doc_a, doc_b""".stripMargin))
+
   private val qTextStats = Q(
     "q24_text_stats",
     (s, dir) => {
@@ -861,7 +920,7 @@ object Queries {
     qPricing, qNationRevenue, qTopOrders, qRollup, qSessions, qEventHours,
     qBrandRevenue, qRegionSupplier,
     qGeoCell, qGeoPip, qGeoKnn, qGeoTiles, qGeoBands,
-    qDedupExact, qMinhash, qNearDup, qSimhash, qTextStats, qNgrams,
+    qDedupExact, qMinhash, qNearDup, qSimhash, qSimhashNearDup, qTextStats, qNgrams,
     qJaccard, qFingerprint, qQuality, qSubwords,
     qRoundtrip, qStreamHourly, qStreamSessions,
     qEmbStats, qAnn, qCentroids, qIvf, qEmbNearDup,
