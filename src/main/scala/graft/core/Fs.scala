@@ -12,15 +12,30 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * in local mode is file://. */
 object Fs {
 
-  private def conf = new Configuration()
+  /** Hadoop configuration honoring Spark's `spark.hadoop.*` overrides:
+    * executors have no active SparkSession, but SparkEnv carries the
+    * SparkConf, so credentials/endpoints configured via spark-submit reach
+    * the sink/commit/grid I/O on every node. */
+  private def conf: Configuration = {
+    val c = new Configuration()
+    val env = org.apache.spark.SparkEnv.get
+    if (env != null) {
+      env.conf.getAll.foreach { case (k, v) =>
+        if (k.startsWith("spark.hadoop.")) c.set(k.stripPrefix("spark.hadoop."), v)
+      }
+    }
+    c
+  }
 
   def fs(path: String): FileSystem = {
-    val f = new Path(path).getFileSystem(conf)
-    // no .crc sidecar mirroring: sink outputs are consumer-facing files
-    // (osmium etc.), and the commit log relies on exact directory listings
-    f.setWriteChecksum(false)
-    f.setVerifyChecksum(false)
-    f
+    new Path(path).getFileSystem(conf) match {
+      // local FS: use the raw (checksum-free) variant — sink outputs are
+      // consumer-facing files (osmium etc.) and the commit log relies on
+      // exact directory listings, so no .crc sidecars. getRaw avoids
+      // mutating checksum flags on the JVM-wide cached FileSystem.
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRaw
+      case other => other
+    }
   }
 
   def create(path: String): OutputStream = fs(path).create(new Path(path), true)

@@ -115,6 +115,16 @@ object Tiff {
     require(samplesPerPixel == 1, s"unsupported samples/pixel $samplesPerPixel")
     require(!tags.contains(322), "tiled TIFFs unsupported (strip layout only)")
 
+    // GDAL_NODATA (parsed below, needed during the strip decode): cells at
+    // the declared nodata value mask like voids even when nodata > voidMax
+    // (e.g. -9999 DEMs); reference parity is unaffected because its
+    // fixtures declare nodata == voidMax == -32768
+    val nodata = {
+      val nd = ascii(42113).trim
+      if (nd.isEmpty) None else Some(nd.toDouble)
+    }
+    val nodataF = nodata.map(_.toFloat)
+
     val stripOffsets = longs(273)
     val rowsPerStrip = scalar(278, rows.toLong).toInt
     val n = rows * cols
@@ -132,7 +142,7 @@ object Tiff {
           (if (le) (bytes(off) & 0xff) | (bytes(off + 1) << 8)
            else (bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort
         values(k) = v.toFloat
-        if (v <= voidMax) {
+        if (v <= voidMax || nodataF.exists(_ == v.toFloat)) {
           if (mask == null) mask = new Array[Boolean](n)
           mask(k) = true
         }
@@ -166,10 +176,6 @@ object Tiff {
     }
     require(epsg > 0, "GeoTIFF lacks an EPSG code in its GeoKey directory")
 
-    val nodata = {
-      val s = ascii(42113).trim
-      if (s.isEmpty) None else Some(s.toDouble)
-    }
     GeoTiff(Grid(rows, cols, values, mask), originX, originY, scale(0), scale(1), epsg, nodata)
   }
 }

@@ -161,6 +161,11 @@ object RasterPipeline {
       val bytesIn = graft.core.Fs.readAllBytes(path)
       val (g, _, _) = decodeDem(path, bytesIn, voidMax, smoothRatio, feetSteps)
       cache.synchronized {
+        // re-check under the lock: concurrent misses on the same key would
+        // otherwise each add est(g) while put() keeps only one entry,
+        // permanently inflating the byte counter until the cache thrashes
+        val winner = cache.get(key)
+        if (winner != null) return winner
         bytes += est(g)
         cache.put(key, g)
       }
@@ -372,17 +377,28 @@ object RasterPipeline {
   def runSingle(spark: SparkSession, paths: Seq[String], outDir: String, cfg: JobConfig,
       format: String = graft.sinks.TileSink.OsmXmlFormat): Seq[String] = {
     graft.core.Fs.mkdirs(outDir)
-    val ts = tiles(spark, paths, cfg)
+    // persist the spec rows: both the contour stage and the union-bbox
+    // collect need them, and tiles() re-decodes every DEM otherwise
+    val ts = tiles(spark, paths, cfg).persist()
     val cs = contours(ts, cfg).persist()
     try {
       val offs = idOffsets(cs, cfg)
-      val boxes = ts.collect().map(t => BBox(t.minLon, t.minLat, t.maxLon, t.maxLat))
+      // union in WGS84: DemTileRow bboxes are native-CRS, so reproject
+      // non-4326 tiles before the union (the per-tile path does the same
+      // via ContourRow's reprojected bbox)
+      val boxes = ts.collect().map { t =>
+        val b = BBox(t.minLon, t.minLat, t.maxLon, t.maxLat)
+        Crs.toWgs84(t.epsg).map(Crs.transformBBox(b, _)).getOrElse(b)
+      }
       require(boxes.nonEmpty, "no tiles to write")
       val union = TileKeys.areaUnion(boxes.toSeq)
       val name = graft.sinks.TileSink.fileName(union, "", format)
       writeOsmXml(cs, offs, outDir, cfg,
         singleFileName = Some(name), format = format, singleBBox = Some(union))
-    } finally cs.unpersist()
+    } finally {
+      cs.unpersist()
+      ts.unpersist()
+    }
   }
 
   final case class RunReport(

@@ -40,9 +40,13 @@ object TileSink {
     val tsAttr = timestamp
       .map(t => s""" timestamp="${java.time.Instant.ofEpochSecond(t)}"""")
       .getOrElse("")
+    // o5m wire: epoch 0 means "no timestamp" (the version chunk gates
+    // author info on a non-zero delta-decoded timestamp), so Some(0)
+    // must behave like None or writer and readers desync
+    val o5mTs = timestamp.filter(_ != 0L)
     format match {
       case O5mFormat =>
-        new O5mTileSink(raw, bbox, timestamp.getOrElse(0L), timestamp.isDefined)
+        new O5mTileSink(raw, bbox, o5mTs.getOrElse(0L), o5mTs.isDefined)
       case PbfFormat => new PbfTileSink(raw, bbox)
       case OsmGzFormat =>
         // reference gzip level 9 via gzip.open(..., "wb") default

@@ -93,7 +93,7 @@ final class ArchiveSource(mirrorBase: String) extends DemSource {
     val group = graft.core.Hgt.alosGroupKey(bbox.minLat.toInt, bbox.minLon.toInt)
     val archive = s"$mirrorBase/$group.zip"
     if (!graft.core.Fs.exists(archive)) return None
-    new java.io.File(dir).mkdirs()
+    graft.core.Fs.mkdirs(dir)
     val zin = new java.util.zip.ZipInputStream(
       new java.io.BufferedInputStream(graft.core.Fs.open(archive), 1 << 16))
     try {
@@ -101,13 +101,19 @@ final class ArchiveSource(mirrorBase: String) extends DemSource {
       while (e != null) {
         val name = e.getName.split('/').last
         if (!e.isDirectory && name.endsWith(".hgt")) {
-          // extract every member: the whole group is paid for once
-          val tmp = java.nio.file.Paths.get(dir, s".$name.tmp")
-          java.nio.file.Files.copy(zin, tmp,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // extract every member through the Hadoop FS (cache may live on
+          // any scheme): tmp write + rename, the whole group paid for once
+          val tmp = s"$dir/.$name.tmp"
+          val out = graft.core.Fs.create(tmp)
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var n = zin.read(buf)
+            while (n >= 0) {
+              if (n > 0) out.write(buf, 0, n)
+              n = zin.read(buf)
+            }
+          } finally out.close()
+          graft.core.Fs.rename(tmp, s"$dir/$name")
         }
         zin.closeEntry()
         e = zin.getNextEntry
@@ -200,6 +206,7 @@ object Sources {
       prefs: Seq[String]): DataFrame = {
     import spark.implicits._
     parsePreference(prefs) // fail fast on the driver for bad prefs
+    if (keys.isEmpty) return Seq.empty[(String, String, String)].toDF("key", "source", "path")
     val prefList = prefs.toList
     val root = cacheRoot
     keys.toDS()
