@@ -35,6 +35,11 @@ object ContourCli {
         val t = Tiff.decode(bytes, cfg.voidMax)
         (t.grid, t.bbox, t.epsg)
       } else (Hgt.decode(bytes, cfg.voidMax), Hgt.parseHgtFilename(file), 4326)
+    // --area degrees are WGS84: truncating a projected (e.g. 3857 metres)
+    // grid against them would silently produce a wrong/empty cut — fail
+    // loudly instead (mirrors RasterPipeline.tiles' guard)
+    require(epsg == 4326 || cfg.area.isEmpty,
+      s"--area is WGS84 degrees but $file is EPSG:$epsg; reproject or drop --area")
     val transform = Crs.toWgs84(epsg)
     val lonInc = (bbox.maxLon - bbox.minLon) / (grid.cols - 1)
     val latInc = (bbox.maxLat - bbox.minLat) / (grid.rows - 1)

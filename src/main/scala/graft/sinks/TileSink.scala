@@ -37,8 +37,12 @@ object TileSink {
       osmVersion: Double = 0.6, timestamp: Option[Long] = None): TileSink = {
     val raw = new java.io.BufferedOutputStream(graft.core.Fs.create(path), 1 << 20)
     // reference timestampString: ` timestamp="<utc iso>"` (osmUtil.py:59-62)
+    // via naive datetime.isoformat() — NO trailing 'Z' (and seconds always
+    // present), so format explicitly instead of Instant.toString
+    val isoNoZ = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
     val tsAttr = timestamp
-      .map(t => s""" timestamp="${java.time.Instant.ofEpochSecond(t)}"""")
+      .map(t => s""" timestamp="${
+        java.time.LocalDateTime.ofEpochSecond(t, 0, java.time.ZoneOffset.UTC).format(isoNoZ)}"""")
       .getOrElse("")
     // o5m wire: epoch 0 means "no timestamp" (the version chunk gates
     // author info on a non-zero delta-decoded timestamp), so Some(0)

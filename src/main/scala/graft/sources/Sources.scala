@@ -17,7 +17,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and a read-only local-directory source (`locl`) for pre-provisioned
   * caches. New sources register via `Sources.register`.
   */
-trait DemSource {
+trait DemSource extends Serializable {
   /** 4-char nickname (reference enforces exactly 4; we do too). */
   def nickname: String
   def supportedResolutions: Seq[Int] = Seq(1, 3)
@@ -84,15 +84,97 @@ final class LocalDirSource extends DemSource {
   * neighbouring fetches hit warm. */
 final class ArchiveSource(mirrorBase: String) extends DemSource {
   val nickname = "arch"
+
+  /** In-JVM catalogue cache; never serialized (each executor re-reads the
+    * persisted index or rebuilds from the mirror). */
+  @transient @volatile private var catCache: (String, Map[String, String]) = null
+
+  private def indexPath(cacheRoot: String, resolution: Int): String =
+    s"${cacheDir(cacheRoot, resolution)}/.index"
+
+  /** Fingerprint of the mirror's archive listing (names + sizes): a member
+    * added/removed/replaced changes it, which invalidates the index. */
+  private def mirrorFingerprint(): String = {
+    val entries = graft.core.Fs.listFiles(mirrorBase)
+      .filter(_.endsWith(".zip")).sorted
+      .map(p => s"${p.split('/').last}:${graft.core.Fs.fileLength(p)}")
+    java.lang.Long.toHexString(
+      entries.foldLeft(17L)((h, e) => graft.functions.SplitMix64.mix(h ^ e.hashCode.toLong)))
+  }
+
+  private def scanMirror(): Map[String, String] =
+    graft.core.Fs.listFiles(mirrorBase)
+      .filter(_.endsWith(".zip"))
+      .flatMap { archive =>
+        val zin = new java.util.zip.ZipInputStream(
+          new java.io.BufferedInputStream(graft.core.Fs.open(archive), 1 << 16))
+        try {
+          val names = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          var e = zin.getNextEntry
+          while (e != null) {
+            val name = e.getName.split('/').last
+            if (!e.isDirectory && name.endsWith(".hgt"))
+              names += ((name.stripSuffix(".hgt"), archive))
+            zin.closeEntry()
+            e = zin.getNextEntry
+          }
+          names.toSeq
+        } finally zin.close()
+      }.toMap
+
+  /** Persisted key->archive catalogue with self-heal (the reference's
+    * rebuild-on-corruption index story, sources/viewfinder.py:149-272):
+    * the index file carries the mirror fingerprint on its first line; a
+    * corrupt file, a fingerprint mismatch (archive added/removed), or a
+    * vanished archive all trigger a transparent rescan + rewrite. */
+  private def catalogue(cacheRoot: String, resolution: Int): Map[String, String] = {
+    val fp = mirrorFingerprint()
+    val cached = catCache
+    if (cached != null && cached._1 == fp) return cached._2
+    val path = indexPath(cacheRoot, resolution)
+    val persisted: Option[Map[String, String]] =
+      if (!graft.core.Fs.exists(path)) None
+      else try {
+        val lines = graft.core.Fs.readString(path).split('\n')
+        if (lines.isEmpty || lines.head != fp) None // stale: mirror changed
+        else Some(lines.tail.filter(_.nonEmpty).map { l =>
+          val Array(k, a) = l.split('\t')
+          k -> a
+        }.toMap)
+      } catch { case _: Exception => None } // corrupt: rebuild below
+    val cat = persisted.getOrElse {
+      val fresh = scanMirror()
+      graft.core.Fs.mkdirs(cacheDir(cacheRoot, resolution))
+      // unique tmp + rename: concurrent rebuilds are benign (same content)
+      val tmp = s"$path.${java.util.UUID.randomUUID().toString.take(8)}.tmp"
+      graft.core.Fs.writeString(tmp,
+        (fp +: fresh.toSeq.sorted.map { case (k, a) => s"$k\t$a" }).mkString("\n"))
+      try graft.core.Fs.rename(tmp, path)
+      catch { case _: java.io.IOException => graft.core.Fs.delete(tmp) }
+      fresh
+    }
+    catCache = (fp, cat)
+    cat
+  }
+
   override def fetch(cacheRoot: String, key: String, resolution: Int): Option[String] = {
     if (!supportedResolutions.contains(resolution)) return None
     val dir = cacheDir(cacheRoot, resolution)
     val cached = s"$dir/$key.hgt"
     if (validCached(cached, resolution)) return Some(cached)
     val bbox = try graft.core.Hgt.parseHgtFilename(s"$key.hgt") catch { case _: Exception => return None }
+    // locate the archive via the persisted catalogue (archives need not be
+    // group-aligned); fall back to the ALOS 5-degree group-key arithmetic
     val group = graft.core.Hgt.alosGroupKey(bbox.minLat.toInt, bbox.minLon.toInt)
-    val archive = s"$mirrorBase/$group.zip"
-    if (!graft.core.Fs.exists(archive)) return None
+    def resolveArchive(cat: Map[String, String]): Option[String] =
+      cat.get(key).orElse(Some(s"$mirrorBase/$group.zip")).filter(graft.core.Fs.exists)
+    val archive = resolveArchive(catalogue(cacheRoot, resolution)).orElse {
+      // self-heal: the catalogue pointed at a vanished archive (or missed
+      // a new one) — force a rescan and retry once
+      catCache = null
+      graft.core.Fs.delete(indexPath(cacheRoot, resolution))
+      resolveArchive(catalogue(cacheRoot, resolution))
+    }.getOrElse(return None)
     graft.core.Fs.mkdirs(dir)
     val zin = new java.util.zip.ZipInputStream(
       new java.io.BufferedInputStream(graft.core.Fs.open(archive), 1 << 16))
@@ -100,10 +182,14 @@ final class ArchiveSource(mirrorBase: String) extends DemSource {
       var e = zin.getNextEntry
       while (e != null) {
         val name = e.getName.split('/').last
-        if (!e.isDirectory && name.endsWith(".hgt")) {
-          // extract every member through the Hadoop FS (cache may live on
-          // any scheme): tmp write + rename, the whole group paid for once
-          val tmp = s"$dir/.$name.tmp"
+        val dst = s"$dir/$name"
+        // skip members another concurrent task already published: a shared
+        // tmp name would let Fs.create truncate an in-progress extraction
+        // and publish a zero-filled .hgt that still passes the size check
+        if (!e.isDirectory && name.endsWith(".hgt") && !validCached(dst, resolution)) {
+          // extract through the Hadoop FS (cache may live on any scheme):
+          // per-attempt unique tmp + rename, the whole group paid for once
+          val tmp = s"$dir/.$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp"
           val out = graft.core.Fs.create(tmp)
           try {
             val buf = new Array[Byte](1 << 16)
@@ -113,7 +199,13 @@ final class ArchiveSource(mirrorBase: String) extends DemSource {
               n = zin.read(buf)
             }
           } finally out.close()
-          graft.core.Fs.rename(tmp, s"$dir/$name")
+          try graft.core.Fs.rename(tmp, dst)
+          catch {
+            // lost the publish race: fine iff the winner's file validates
+            case e: java.io.IOException =>
+              graft.core.Fs.delete(tmp)
+              if (!validCached(dst, resolution)) throw e
+          }
         }
         zin.closeEntry()
         e = zin.getNextEntry
@@ -122,28 +214,11 @@ final class ArchiveSource(mirrorBase: String) extends DemSource {
     if (validCached(cached, resolution)) Some(cached) else None
   }
 
-  /** Mirror catalogue: every .hgt member of every group archive. */
+  /** Mirror catalogue: every .hgt member of every group archive (persisted
+    * index, self-healing) plus whatever is already cached. */
   override def index(cacheRoot: String, resolution: Int): Seq[String] = {
     val cachedKeys = super.index(cacheRoot, resolution)
-    val archived = graft.core.Fs.listFiles(mirrorBase)
-      .filter(_.endsWith(".zip"))
-      .flatMap { archive =>
-        val zin = new java.util.zip.ZipInputStream(
-          new java.io.BufferedInputStream(graft.core.Fs.open(archive), 1 << 16))
-        try {
-          val names = scala.collection.mutable.ArrayBuffer.empty[String]
-          var e = zin.getNextEntry
-          while (e != null) {
-            val name = e.getName.split('/').last
-            if (!e.isDirectory && name.endsWith(".hgt"))
-              names += name.stripSuffix(".hgt")
-            zin.closeEntry()
-            e = zin.getNextEntry
-          }
-          names.toSeq
-        } finally zin.close()
-      }
-    (cachedKeys ++ archived).distinct
+    (cachedKeys ++ catalogue(cacheRoot, resolution).keys).distinct
   }
 }
 
@@ -205,14 +280,17 @@ object Sources {
       keys: Seq[String],
       prefs: Seq[String]): DataFrame = {
     import spark.implicits._
-    parsePreference(prefs) // fail fast on the driver for bad prefs
+    // resolve on the DRIVER and ship the DemSource instances in the closure:
+    // executor JVMs only re-register the built-ins at object init, so a
+    // plugin registered via Sources.register (or an ArchiveSource whose
+    // mirror base came from the driver's env) must travel by value, not be
+    // re-looked-up from each executor's registry/environment
+    val resolved = parsePreference(prefs)
     if (keys.isEmpty) return Seq.empty[(String, String, String)].toDF("key", "source", "path")
-    val prefList = prefs.toList
     val root = cacheRoot
     keys.toDS()
       .repartition(math.min(keys.size, spark.sparkContext.defaultParallelism))
       .mapPartitions { it =>
-        val resolved = parsePreference(prefList)
         it.flatMap { key =>
           resolved.iterator
             .flatMap { case (src, res) =>

@@ -72,7 +72,9 @@ class SinkOptionsSpec extends AnyFunSuite {
     val p = s"$dir/t.osm"
     driveSink(TileSink.open(p, bbox, TileSink.OsmXmlFormat, 0.6, Some(1600000000L)))
     val xml = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
-    assert(xml.contains(" timestamp=\"2020-09-13T12:26:40Z\""))
+    // reference makeUtcTimestamp is naive isoformat: NO trailing 'Z'
+    assert(xml.contains(" timestamp=\"2020-09-13T12:26:40\""))
+    assert(!xml.contains(" timestamp=\"2020-09-13T12:26:40Z\""))
   }
 
   test("o5m writeTimestamp=true round-trips through the bundled reader") {

@@ -3,6 +3,19 @@ package graft.sources
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
 
+/** Test plugin source (top-level so closure serialization ships no outer
+  * test-suite reference): synthesizes like SynthSource, own cache dir. */
+final class PluginSource extends DemSource {
+  val nickname = "plug"
+  override def fetch(cacheRoot: String, key: String, resolution: Int): Option[String] = {
+    if (!supportedResolutions.contains(resolution)) return None
+    val bbox = try graft.core.Hgt.parseHgtFilename(s"$key.hgt") catch { case _: Exception => return None }
+    val side = 3600 / resolution + 1
+    Some(graft.synth.SynthDem.writeHgt(
+      cacheDir(cacheRoot, resolution), bbox.minLat.toInt, bbox.minLon.toInt, side))
+  }
+}
+
 /** Source plugin registry + pool semantics (S9): nickname registry,
   * cache layout, size validation, preference-ordered resolution. */
 class SourcesSpec extends AnyFunSuite {
@@ -94,6 +107,54 @@ class SourcesSpec extends AnyFunSuite {
         Seq("locl1", "locl3"))
       .collect().map(r => (r.getString(1), r.getString(0))).toMap
     assert(resolved == Map("locl3" -> "N30E030", "locl1" -> "N31E030"))
+  }
+
+  test("archive index persists, detects staleness/corruption, self-heals") {
+    val mirror = java.nio.file.Files.createTempDirectory("mirror2").toString
+    val cacheRoot = java.nio.file.Files.createTempDirectory("archcache2").toString
+    val scratch = java.nio.file.Files.createTempDirectory("scratch2").toString
+    val syn = new SynthSource
+    def writeZip(name: String, members: Seq[String]): Unit = {
+      val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(s"$mirror/$name"))
+      try members.foreach { k =>
+        val p = syn.fetch(scratch, k, 3).get
+        zos.putNextEntry(new java.util.zip.ZipEntry(s"$k.hgt"))
+        zos.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+        zos.closeEntry()
+      } finally zos.close()
+    }
+    writeZip("N040E005.zip", Seq("N43E006"))
+    writeZip("N040E010.zip", Seq("N43E011"))
+    val arch = new ArchiveSource(mirror)
+    assert(arch.index(cacheRoot, 3).toSet == Set("N43E006", "N43E011"))
+    val idxFile = s"$cacheRoot/ARCH3/.index"
+    assert(new java.io.File(idxFile).isFile) // catalogue persisted
+    // corrupt the persisted index: lookups must rebuild, not fail
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(idxFile), "garbage\nnot\tvalid\tat all")
+    val arch2 = new ArchiveSource(mirror) // fresh instance: no warm cache
+    assert(arch2.fetch(cacheRoot, "N43E006", 3).isDefined)
+    assert(arch2.index(cacheRoot, 3).contains("N43E011"))
+    // mirror mutates (archive removed): fingerprint mismatch invalidates
+    // the index; the vanished member disappears, the survivor still fetches
+    new java.io.File(s"$mirror/N040E010.zip").delete()
+    val arch3 = new ArchiveSource(mirror)
+    assert(!arch3.index(cacheRoot, 3).contains("N43E011"))
+    assert(arch3.fetch(cacheRoot, "N43E011", 3).isEmpty)
+    val cached = s"$cacheRoot/ARCH3/N43E006.hgt"
+    new java.io.File(cached).delete()
+    assert(arch3.fetch(cacheRoot, "N43E006", 3).contains(cached))
+  }
+
+  test("driver-registered plugin sources ship to executors by value") {
+    // a source that exists ONLY in the driver's registry: fetchAll must
+    // resolve it on the driver and serialize the instance into the closure
+    // (executor JVMs re-register only the built-ins at object init)
+    Sources.register(new PluginSource)
+    val root = java.nio.file.Files.createTempDirectory("plugroot").toString
+    val rows = Sources.fetchAll(spark, root, Seq("N15E015"), Seq("plug3"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(("N15E015", "plug3", s"$root/PLUG3/N15E015.hgt")))
+    assert(new java.io.File(rows(0)._3).length == 2L * 1201 * 1201)
   }
 
   test("pool resolves each key to the first providing source, distributed") {
