@@ -113,6 +113,33 @@ object Ann {
       .select("cluster", "vec_id", "vec")
   }
 
+  /** IVF-bucketed near-duplicate candidate pairs: the index side sits in
+    * its single nearest cluster, the probe side fans out to its `nprobe`
+    * nearest clusters, and candidates come from an EQUI-JOIN on cluster —
+    * never an all-pairs nested loop. With nprobe == k every unordered pair
+    * (a < b) is generated exactly once (b probes all clusters, a lives in
+    * exactly one), so the candidate set IS the exact pair space and results
+    * equal a brute-force scan — the q33 full-probe argument; nprobe < k
+    * trades recall for a ~k/nprobe reduction of the pair space, which is
+    * what makes 10^9-vector near-dup feasible. Returns (a, va, b, vb). */
+  def ivfPairs(
+      vectors: DataFrame, // (vec_id, vec)
+      centroids: Seq[(Int, Array[Double])],
+      nprobe: Int): DataFrame = {
+    register(vectors.sparkSession)
+    val idx = assign(vectors, centroids).toDF("cluster", "a", "va")
+    val sorted = array_sort(transform(
+      centroidLit(centroids),
+      c => struct(sqDist(col("vb"), c.getField("centroid")).as("d"),
+        c.getField("cluster").as("cluster"))))
+    val probeClusters = transform(slice(sorted, 1, nprobe), s => s.getField("cluster"))
+    val probes = vectors.toDF("b", "vb")
+      .withColumn("cluster", explode(probeClusters))
+    idx.join(probes, Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .select("a", "va", "b", "vb")
+  }
+
   /** IVF query: probe the nprobe nearest clusters per query, exact cosine
     * within the probed candidate set. */
   def ivfTopK(

@@ -263,12 +263,17 @@ object Queries {
   private val qJaccard = Q(
     "q27_jaccard_verify",
     (s, dir) => {
-      val sh = shingles8(s, dir).distinct()
+      // ONE shingle explosion, deduped then persisted, reused three ways
+      // (sizes, signatures, intersection join): min() is duplicate-
+      // insensitive, so minhash signatures over the DISTINCT shingle set
+      // equal the multiset form — dedup once, cache the small result, and
+      // the O(len) explode runs a single time instead of three.
+      val sh = shingles8(s, dir).distinct().persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val aggs = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
         min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"mh$j")
       }
-      val sig = shingles8(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       val keys = Seq("mh0", "mh1", "mh2", "mh3")
       val cand = sig.toDF("doc_a" +: keys: _*)
         .join(sig.toDF("doc_b" +: keys: _*), keys)
@@ -548,16 +553,22 @@ object Queries {
   private val qAnn = Q(
     "q31_ann_cosine_topk",
     (s, dir) => {
-      val dims = embDims(s, dir).select(col("vec_id"), col("i"), col("x"))
-      val queries = dims.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("q_id"), col("i"), col("x").as("qx"))
-      val joined = queries.join(dims.filter(col("vec_id") >= 3), Seq("i"))
-      val sims = joined
-        .groupBy("q_id", "vec_id")
-        .agg(
-          (sum(col("qx") * col("x")) /
-            (sqrt(sum(col("qx") * col("qx"))) * sqrt(sum(col("x") * col("x"))))).as("cos"))
-        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("r_cos"))
+      // engine form: broadcast the 3 query vectors and run the codegen'd
+      // array cosine (functions/VecOps.CosineSim) in ONE narrow stage +
+      // top-k window — NOT the dims-explode equi-join, which pushes
+      // O(n·d) rows through a shuffle (400M rows at sf100) for a plain
+      // per-pair dot product. The oracle keeps the dims-join SQL; values
+      // match because the expression's left-to-right fold is the same sum
+      // DuckDB computes, and ranking happens on the ROUNDED cosine so
+      // cross-engine ulp drift cannot flip ranks (the q34 argument).
+      Ann.register(s)
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val queries = vecs.filter(col("vec_id") < 3).toDF("q_id", "qvec")
+      val sims = vecs.filter(col("vec_id") >= 3)
+        .crossJoin(broadcast(queries))
+        .select(col("q_id"), col("vec_id"),
+          round(Ann.cosine(col("vec"), col("qvec")), 6).as("r_cos"))
       val w = Window.partitionBy("q_id").orderBy(col("r_cos").desc, col("vec_id").asc)
       sims
         .withColumn("rank", row_number().over(w))
@@ -592,25 +603,22 @@ object Queries {
             |       FROM ($embDimsSql) GROUP BY label, i)
             | GROUP BY label ORDER BY label""".stripMargin))
 
-  /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine >= tau.
-    * Oracle-parity form is the dims equi-join; the engine's scale path for
-    * 10^9+ vectors is IVF bucketing (Ann.assign + within-cluster pairs),
-    * which q33 pins. */
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine >= tau,
+    * through the IVF-bucketed pair path — the shape that survives 10^9
+    * vectors. Candidates come from Ann.ivfPairs' equi-join on cluster
+    * (index side in its 1 nearest cluster, probe side fanned to nprobe
+    * clusters); at the gate's full probe (nprobe == k) the candidate set
+    * is exactly the (a < b) pair space, so results equal the brute-force
+    * dims-join oracle regardless of where Lloyd's centroids land (the q33
+    * argument). nprobe < k is the recall/cost knob at scale. */
   private val qEmbNearDup = Q(
     "q34_emb_neardup",
     (s, dir) => {
-      // engine form: broadcast nested-loop over whole vectors with the
-      // codegen'd array cosine — O(n^2) pairs x O(d) flops in one narrow
-      // stage, NOT the O(n^2 * d)-row dims-explode join (which would
-      // shuffle 400M rows at sf0.1 and drown at any real scale). The
-      // oracle keeps the dims-join form; values match because the per-pair
-      // dot product is the same left-to-right fold DuckDB's sum computes.
       Ann.register(s)
       val vecs = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-      val l = vecs.toDF("a", "va")
-      val r = vecs.toDF("b", "vb")
-      l.join(broadcast(r), col("a") < col("b"))
+      val centroids = Ann.trainCentroids(vecs, k = 8, iters = 2)
+      Ann.ivfPairs(vecs, centroids, nprobe = 8)
         .select(col("a"), col("b"), round(Ann.cosine(col("va"), col("vb")), 6).as("r_cos"))
         .filter(col("r_cos") >= 0.44) // threshold on the ROUNDED value: the
         // raw double differs across engines by summation order at ~1e-15

@@ -44,6 +44,36 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("ivfPairs at full probe is exactly the (a < b) pair space, once each") {
+    val centroids = Ann.trainCentroids(vectors, k = 8, iters = 2)
+    val pairs = Ann.ivfPairs(vectors, centroids, nprobe = 8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val n = vectors.count()
+    assert(pairs.length == (n * (n - 1) / 2).toInt) // exactly once per pair
+    assert(pairs.distinct.length == pairs.length)
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("ivfPairs at nprobe = 2 prunes the pair space but keeps near-dups") {
+    val centroids = Ann.trainCentroids(vectors, k = 8, iters = 2)
+    Ann.register(spark)
+    def dups(nprobe: Int): Set[(Long, Long)] =
+      Ann.ivfPairs(vectors, centroids, nprobe)
+        .select(col("a"), col("b"), Ann.cosine(col("va"), col("vb")).as("cos"))
+        .filter(col("cos") >= 0.44)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = dups(8)
+    val pruned = dups(2)
+    val n = vectors.count()
+    val candCount = Ann.ivfPairs(vectors, centroids, nprobe = 2).count()
+    assert(candCount < n * (n - 1) / 2, s"nprobe=2 did not prune: $candCount")
+    assert(pruned.subsetOf(full))
+    // near-dups are cosine-close, hence usually same/nearby cluster: the
+    // pruned candidate set must retain most of them
+    val recall = if (full.isEmpty) 1.0 else (pruned & full).size.toDouble / full.size
+    assert(recall >= 0.5, s"near-dup recall $recall")
+  }
+
   test("training is deterministic") {
     val a = Ann.trainCentroids(vectors, k = 4, iters = 2).map(_._2.toSeq)
     val b = Ann.trainCentroids(vectors, k = 4, iters = 2).map(_._2.toSeq)

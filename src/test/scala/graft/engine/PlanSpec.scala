@@ -97,6 +97,27 @@ class PlanSpec extends AnyFunSuite {
     assert(got == Seq(0, 1, 0))
   }
 
+  test("q31 runs the broadcast whole-vector cosine, not a dims explode") {
+    val q = Queries.all.find(_.name == "q31_ann_cosine_topk").get
+    val df = q.impl(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    assert(!p.contains("Generate"), p) // no explode anywhere in the plan
+    assert(p.contains("cosine_sim"), p) // the codegen'd vector kernel
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q34 candidates come from a cluster equi-join, not an n x n nested loop") {
+    val q = Queries.all.find(_.name == "q34_emb_neardup").get
+    val df = q.impl(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // the pair space must be keyed by cluster: a BroadcastNestedLoopJoin
+    // would be the O(n^2)-at-scale shape the gate exists to forbid
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pip/shingle/wrap codegen matches interpreted eval") {
     import spark.implicits._
     // force both paths: default (codegen) vs spark.sql.codegen.factoryMode
