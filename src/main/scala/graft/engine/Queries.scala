@@ -127,6 +127,37 @@ object Queries {
             | count(*) AS n_docs, round(min(lat), 6) AS min_lat, round(max(lat), 6) AS max_lat
             | FROM ($docCoordsSql) GROUP BY 1 ORDER BY tile""".stripMargin))
 
+  /** Batch-table kNN (J5 at its real scale): the query side is a 100-row
+    * TABLE (docs with doc_id < 100), not a literal broadcast list — exact
+    * results via SpatialJoin.knnBatch's two-pass cell-indexed candidate
+    * join (radius discovery from per-cell counts, then a provably-covering
+    * ring equi-join + windowed top-k; no driver loop). The oracle is the
+    * brute-force cross join. */
+  private val qGeoKnnBatch = Q(
+    "q14_geo_knn_batch",
+    (s, dir) => {
+      val res = 6
+      val docs = withDocCoords(t(s, dir, "documents"))
+        .withColumn("cell", GeoCols.cellId(col("lon"), col("lat"), res))
+        .withColumn("page_id", col("doc_id"))
+      val queries = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id").as("q_id"), col("lon").as("q_lon"), col("lat").as("q_lat"))
+      SpatialJoin.knnBatch(docs, queries, k = 5, res = res)
+        .select(col("q_id"), col("rank"), col("page_id").as("doc_id"),
+          round(col("d2"), 8).as("d2"))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""WITH pts AS ($docCoordsSql),
+            | q AS (SELECT doc_id AS q_id, lon AS q_lon, lat AS q_lat FROM pts WHERE doc_id < 100)
+            |SELECT q_id, rank, doc_id, round(d2, 8) AS d2 FROM (
+            | SELECT q.q_id, p.doc_id,
+            |  ((p.lon - q.q_lon) * (p.lon - q.q_lon) + (p.lat - q.q_lat) * (p.lat - q.q_lat)) AS d2,
+            |  row_number() OVER (PARTITION BY q.q_id ORDER BY
+            |   ((p.lon - q.q_lon) * (p.lon - q.q_lon) + (p.lat - q.q_lat) * (p.lat - q.q_lat)) ASC,
+            |   p.doc_id ASC) AS rank
+            | FROM q CROSS JOIN pts p)
+            |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+
   private val qGeoBands = Q(
     "q15_geo_range_join",
     (s, dir) => {
@@ -927,7 +958,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     qPricing, qNationRevenue, qTopOrders, qRollup, qSessions, qEventHours,
     qBrandRevenue, qRegionSupplier,
-    qGeoCell, qGeoPip, qGeoKnn, qGeoTiles, qGeoBands,
+    qGeoCell, qGeoPip, qGeoKnn, qGeoKnnBatch, qGeoTiles, qGeoBands,
     qDedupExact, qMinhash, qNearDup, qSimhash, qSimhashNearDup, qTextStats, qNgrams,
     qJaccard, qFingerprint, qQuality, qSubwords,
     qRoundtrip, qStreamHourly, qStreamSessions,

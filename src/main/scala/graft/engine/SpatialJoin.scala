@@ -166,6 +166,76 @@ object SpatialJoin {
     accRows.toSeq.toDF("q_id", "rank", "page_id", "dist").orderBy("q_id", "rank")
   }
 
+  /** Exact batch-table kNN — both sides cell-indexed, candidates from a
+    * per-query k-ring EQUI-JOIN on cell, top-k by window; no driver loop,
+    * no per-query driver state, so the query side can be a 10^9-row table
+    * (the operator `knn` above documents as its own gap).
+    *
+    * Two fully-columnar passes make it exact, not approximate:
+    *  1. radius discovery — queries explode to their (2·maxR+1)^2 cell
+    *     neighbourhood, equi-join the PRE-AGGREGATED per-cell page counts
+    *     (tiny vs pages), and a cumulative window over Chebyshev ring
+    *     distance finds r_q = the smallest ring holding >= k pages;
+    *  2. candidate join — any point within the k-th-neighbour distance
+    *     bound D = sqrt(2)·(r_q+1)·cellSize lies within Chebyshev radius
+    *     R_q = floor(sqrt(2)·(r_q+1)) + 1 cells, so the ring(R_q) equi-join
+    *     provably contains the true top-k; the window then ranks by exact
+    *     squared distance (ties by page_id).
+    *
+    * Queries whose maxR neighbourhood holds < k pages are absent from the
+    * output (raise maxR / coarsen res for sparse data). Returns
+    * (q_id, rank, page_id, d2). */
+  def knnBatch(
+      pages: DataFrame, // needs page_id, lon, lat, cell (at `res`)
+      queries: DataFrame, // (q_id, q_lon, q_lat)
+      k: Int,
+      res: Int,
+      maxR: Int = 64): DataFrame = {
+    val w = Cells.lonWidth(res)
+    val maxLatIdx = 180L << res
+    val cellCounts = pages.groupBy("cell").agg(count(lit(1)).as("cnt"))
+    val q = queries
+      .withColumn("q_cell", graft.functions.GeoCols.cellId(col("q_lon"), col("q_lat"), res))
+      .withColumn("q_lon_idx", pmod(col("q_cell"), lit(w)))
+      .withColumn("q_lat_idx", ((col("q_cell") - pmod(col("q_cell"), lit(w))) / lit(w)).cast("long"))
+    def ringCells(src: DataFrame, radius: org.apache.spark.sql.Column, carry: Seq[String]) =
+      src
+        .select((col("q_id") +: carry.map(col) :+
+          col("q_lon_idx") :+ col("q_lat_idx") :+ radius.as("rr")): _*)
+        .withColumn("dy", explode(sequence(-col("rr"), col("rr"))))
+        .filter(col("q_lat_idx") + col("dy") >= 0 && col("q_lat_idx") + col("dy") < maxLatIdx)
+        .withColumn("dx", explode(sequence(-col("rr"), col("rr"))))
+        .withColumn("d", greatest(abs(col("dy")), abs(col("dx"))))
+        .withColumn("cell",
+          (col("q_lat_idx") + col("dy")) * lit(w) + pmod(col("q_lon_idx") + col("dx"), lit(w)))
+    // pass 1: smallest ring with >= k candidates, from per-cell counts
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy("d")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val rq = ringCells(q, lit(maxR), Nil)
+      .join(cellCounts, Seq("cell"))
+      .groupBy("q_id", "d").agg(sum("cnt").as("nc"))
+      .withColumn("cum", sum("nc").over(wcum))
+      .filter(col("cum") >= k)
+      .groupBy("q_id").agg(min("d").as("rq"))
+    // pass 2: ring(R_q) candidates, exact distance, windowed top-k
+    val qr = q.join(rq, Seq("q_id"))
+      .withColumn("bigR",
+        (floor((col("rq") + lit(1)).cast("double") * lit(math.sqrt(2.0))) + lit(1)).cast("int"))
+    val cand = ringCells(qr, col("bigR"), Seq("q_lon", "q_lat"))
+      .select("q_id", "q_lon", "q_lat", "cell")
+    val joined = pages.join(cand, Seq("cell"))
+      .withColumn("d2",
+        (col("lon") - col("q_lon")) * (col("lon") - col("q_lon")) +
+          (col("lat") - col("q_lat")) * (col("lat") - col("q_lat")))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d2").asc, col("page_id").asc)
+    joined
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "page_id", "d2")
+  }
+
   /** Brute-force reference kNN (test oracle / small inputs). */
   def knnBrute(
       pages: DataFrame,

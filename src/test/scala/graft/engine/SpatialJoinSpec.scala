@@ -85,4 +85,28 @@ class SpatialJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(fast.toSeq == brute.toSeq)
   }
+
+  test("batch-table kNN equals brute force on a query TABLE") {
+    import spark.implicits._
+    // query side is a table: 60 pages themselves plus off-lattice points
+    // (incl. a query whose nearest neighbours straddle several rings)
+    val fromPages = pages.select(col("page_id").as("q_id"),
+      col("lon").as("q_lon"), col("lat").as("q_lat"))
+      .filter(col("q_id") < 50)
+    val extra = Seq(
+      (1000L, 6.0001, 43.9999), (1001L, 6.99, 43.01), (1002L, 6.253, 43.253),
+      (1003L, 6.42, 43.66)).toDF("q_id", "q_lon", "q_lat")
+    val queries = fromPages.unionAll(extra)
+    val got = SpatialJoin.knnBatch(pages, queries, k = 5, res = Res)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val qSeq = queries.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val brute = SpatialJoin.knnBrute(pages, qSeq, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(got == brute)
+    // and it is a real batch operator: no driver loop means the plan is a
+    // single DAG — just sanity-check it contains the candidate equi-join
+    val plan = SpatialJoin.knnBatch(pages, queries, k = 5, res = Res)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
