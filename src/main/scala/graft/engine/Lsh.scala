@@ -20,8 +20,9 @@ object Lsh {
 
   private val P = 1000003L
 
-  /** Deterministic (a, b) parameters for hash j (odd a, nonzero). */
-  private def params(j: Int): (Long, Long) = {
+  /** Deterministic (a, b) parameters for hash j (odd a, nonzero); exposed
+    * so gate oracles can inline the SAME constants into DuckDB SQL. */
+  private[graft] def params(j: Int): (Long, Long) = {
     val a = (graft.functions.SplitMix64.mix(2L * j + 1) & 0x7fffffffL) | 1L
     val b = graft.functions.SplitMix64.mix(3L * j + 7) & 0x7fffffffL
     (a, b)

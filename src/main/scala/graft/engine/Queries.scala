@@ -472,6 +472,61 @@ object Queries {
             |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 1
             |ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** Banded MinHash-LSH at production parameters (numHashes=8, bands=2,
+    * r=4) chained into the exact-Jaccard verify — the general Lsh.scala
+    * pipeline, driver-gated (q22 pins only the single-band special case).
+    * The oracle recomputes the SAME mod-P affine minhashes (constants
+    * inlined from Lsh.params) and forms candidates by band-slice equality;
+    * the engine's bucket is xxhash64 of the slice, identical modulo hash
+    * collisions (none on this deterministic corpus). */
+  private val qBandedLsh = Q(
+    "q37_banded_lsh",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = Lsh.signatures(docs, "doc_id", "text", n = 8, numHashes = 8)
+      val cand = Lsh.candidatePairs(sig, "doc_id", numHashes = 8, bands = 2)
+        .toDF("doc_a", "doc_b")
+      // exact-Jaccard verify of the banded candidates (q27's join shape,
+      // one persisted distinct-shingle explosion)
+      val sh = shingles8(s, dir).distinct().persist()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.toDF("doc_a", "h")
+        .join(cand, Seq("doc_a"))
+        .join(sh.toDF("doc_b", "h"), Seq("doc_b", "h"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_inter"))
+      // exact INTEGER pair (|A∩B|, |A∪B|) rather than a rounded quotient:
+      // n_inter/n_union lands on exact half-way decimals (e.g. 41/640 =
+      // 0.0640625) where Spark's HALF_UP and DuckDB's rounding disagree
+      inter
+        .join(sizes.toDF("doc_a", "sz_a"), Seq("doc_a"))
+        .join(sizes.toDF("doc_b", "sz_b"), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_inter"),
+          (col("sz_a") + col("sz_b") - col("n_inter")).as("n_union"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val aggs = (0 until 8).map { j =>
+        val (a, b) = Lsh.params(j)
+        s"min((h % 1000003 * $a + $b) % 1000003) AS mh$j"
+      }.mkString(", ")
+      def bandEq(lo: Int): String =
+        (lo until lo + 4).map(j => s"a.mh$j = b.mh$j").mkString("(", " AND ", ")")
+      s"""WITH sig AS (SELECT doc_id, $aggs FROM ($shingles8Sql) GROUP BY doc_id),
+         | cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+         |  ON a.doc_id < b.doc_id AND (${bandEq(0)} OR ${bandEq(4)})),
+         | sh AS (SELECT DISTINCT doc_id, h FROM ($shingles8Sql)),
+         | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         | inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b AND y.h = x.h
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b, n_inter,
+         | (sa.sz + sb.sz - n_inter) AS n_union
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+         | JOIN sizes sb ON sb.doc_id = i.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    })
+
   private val qTextStats = Q(
     "q24_text_stats",
     (s, dir) => {
@@ -678,6 +733,49 @@ object Queries {
            | length(regexp_extract_all(text, '[aeiou]+|[^aeiou\s]+')) AS n_pieces,
            | length(list_distinct(regexp_extract_all(text, '[aeiou]+|[^aeiou\s]+'))) AS n_distinct_pieces
            |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Multimodal pipeline gate: the deterministic media table (binary
+    * payloads + typed metadata) through feature extraction (partition-
+    * batched decode-stub + hash-projected embedding), video frame
+    * sampling, and metadata resize — `engine/Multimodal.scala` made
+    * driver-visible. The generator is seeded, so the oracle is a pinned
+    * VALUES table (like q50's reference goldens). */
+  private val qMultimodal = Q(
+    "q38_multimodal",
+    (s, dir) => {
+      val media = Multimodal.generate(s, 300)
+      val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
+      val byKind = feats.groupBy("kind").agg(
+        count(lit(1)).as("n"),
+        round(avg(element_at(col("feature"), 1).cast("double")), 5).as("f0"),
+        round(avg(col("n_bytes")), 5).as("bytes"))
+      val kindMetrics = byKind.select(expr(
+        """stack(3,
+          | concat('n_', kind), CAST(n AS DOUBLE),
+          | concat('feat0_', kind), f0,
+          | concat('bytes_', kind), bytes) AS (metric, value)""".stripMargin))
+      val frames = Multimodal.sampleFrames(media, stride = 4).toDF()
+      val frameMetrics = frames.agg(
+        count(lit(1)).as("n_frames"),
+        countDistinct("media_id").as("n_frame_media"),
+        sum("frame_idx").as("frame_idx_sum"))
+        .select(expr(
+          """stack(3,
+            | 'n_frames', CAST(n_frames AS DOUBLE),
+            | 'n_frame_media', CAST(n_frame_media AS DOUBLE),
+            | 'frame_idx_sum', CAST(frame_idx_sum AS DOUBLE)) AS (metric, value)""".stripMargin))
+      val resized = Multimodal.resizeMeta(media.toDF(), maxSide = 96)
+        .agg(sum(col("meta.width").cast("long") * col("meta.height")).as("area"))
+        .select(expr("stack(1, 'resized_area_sum', CAST(area AS DOUBLE)) AS (metric, value)"))
+      kindMetrics.unionAll(frameMetrics).unionAll(resized).orderBy("metric")
+    },
+    Some("""SELECT metric, CAST(value AS DOUBLE) AS value FROM (VALUES
+           | ('bytes_audio', 753.98), ('bytes_image', 762.9), ('bytes_video', 740.08),
+           | ('feat0_audio', 150.71784), ('feat0_image', 150.21574), ('feat0_video', 150.40798),
+           | ('frame_idx_sum', 1880.0), ('n_audio', 100.0), ('n_frame_media', 100.0),
+           | ('n_frames', 341.0), ('n_image', 100.0), ('n_video', 100.0),
+           | ('resized_area_sum', 1372645.0)) AS t(metric, value)
+           |ORDER BY metric""".stripMargin))
 
   // --------------------------------------------------------------- relational ---
 
@@ -960,7 +1058,7 @@ object Queries {
     qBrandRevenue, qRegionSupplier,
     qGeoCell, qGeoPip, qGeoKnn, qGeoKnnBatch, qGeoTiles, qGeoBands,
     qDedupExact, qMinhash, qNearDup, qSimhash, qSimhashNearDup, qTextStats, qNgrams,
-    qJaccard, qFingerprint, qQuality, qSubwords,
+    qJaccard, qFingerprint, qQuality, qSubwords, qBandedLsh, qMultimodal,
     qRoundtrip, qStreamHourly, qStreamSessions,
     qEmbStats, qAnn, qCentroids, qIvf, qEmbNearDup,
     qContourGolden, qChopGolden)
