@@ -11,14 +11,59 @@ import graft.engine.RasterPipeline
   * Usage: PipelineCli <out-dir> <file.hgt>... [--step N] [--area A]
   *        [--max-nodes-per-tile N] [--max-nodes-per-way N] [--rdp EPS]
   *        [--cores N] [--pbf|--o5m|--gzip] [--osm-version V]
-  *        [--write-timestamp EPOCH] [--smooth R]
+  *        [--write-timestamp EPOCH] [--smooth R] [--config FILE]
+  *
+  * Standing options can live in a config file (--config FILE,
+  * $SPARK_GRAFT_CONFIG, or ~/.graft/config); explicit argv wins.
   */
 object PipelineCli {
-  def main(args: Array[String]): Unit = {
-    if (args.length < 2) {
-      System.err.println("usage: PipelineCli <out-dir> <file.hgt>... [options]"); sys.exit(2)
+
+  final case class CliOptions(
+      cfg: JobConfig,
+      files: Seq[String],
+      cores: String,
+      format: String,
+      sourcePrefs: Seq[String],
+      polyFile: Option[String],
+      cacheRoot: String)
+
+  /** Config-file layer (the reference's configargparse setup, cli.py:27 +
+    * configuration.py:10-11: CLI args > env > ~/.pyhgtmap/config.yaml):
+    * standing options live in a properties-style file — one option per
+    * line, `step = 20` / `step 20` for valued options, bare `pbf` for
+    * flags, `#` comments — found via --config FILE, else $SPARK_GRAFT_CONFIG,
+    * else ~/.graft/config. File options are PREPENDED to argv, so an
+    * explicit argv option always wins (later parse overwrites earlier). */
+  private[graft] def expandConfig(args: Seq[String]): Seq[String] = {
+    val idx = args.indexOf("--config")
+    val (cfgFile, argv) =
+      if (idx >= 0 && idx + 1 < args.length) (Some(args(idx + 1)), args.patch(idx, Nil, 2))
+      else (
+        sys.env.get("SPARK_GRAFT_CONFIG").orElse {
+          val home = s"${sys.props("user.home")}/.graft/config"
+          if (new java.io.File(home).isFile) Some(home) else None
+        },
+        args)
+    val fileArgs = cfgFile.toSeq.flatMap { f =>
+      require(new java.io.File(f).isFile, s"config file not found: $f")
+      graft.core.Fs.readString(f).linesIterator
+        .map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .flatMap { l =>
+          val parts = l.split("[=\\s]+", 2).map(_.trim).filter(_.nonEmpty)
+          parts match {
+            case Array(k) => Seq(s"--$k")
+            case Array(k, v) => Seq(s"--$k", v)
+            case _ => Nil
+          }
+        }
     }
-    val outDir = args(0)
+    fileArgs ++ argv
+  }
+
+  /** Parse the post-<out-dir> option/file list (config already expanded). */
+  private[graft] def parseOptions(argSeq: Seq[String]): CliOptions = {
+    val args = argSeq.toArray
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     var cfg = JobConfig(rdpEpsilon = None)
     var cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -26,7 +71,7 @@ object PipelineCli {
     var sourcePrefs: Seq[String] = Nil
     var polyFile: Option[String] = None
     var cacheRoot = sys.env.getOrElse("SPARK_GRAFT_CACHE", "/tmp/graft_cache")
-    var i = 1
+    var i = 0
     while (i < args.length) {
       args(i) match {
         case "--step" => cfg = cfg.copy(contourStepSize = args(i + 1).toInt); i += 2
@@ -61,6 +106,22 @@ object PipelineCli {
         case other => System.err.println(s"unknown option: $other"); sys.exit(2)
       }
     }
+    CliOptions(cfg, files.toSeq, cores, format, sourcePrefs, polyFile, cacheRoot)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: PipelineCli <out-dir> <file.hgt>... [options]"); sys.exit(2)
+    }
+    val outDir = args(0)
+    val opts = parseOptions(expandConfig(args.toSeq.drop(1)))
+    val files = scala.collection.mutable.ArrayBuffer.empty[String] ++ opts.files
+    var cfg = opts.cfg
+    val cores = opts.cores
+    val format = opts.format
+    val sourcePrefs = opts.sourcePrefs
+    val polyFile = opts.polyFile
+    val cacheRoot = opts.cacheRoot
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-pipeline")

@@ -106,6 +106,30 @@ object SpatialJoin {
     df.repartitionByRange(partitions, call_function(fn, col(lonCol), col(latCol)))
   }
 
+  /** Hilbert-clustered parquet write — the write-side payoff of
+    * clusterSpatially: rows land range-partitioned AND sorted by their
+    * Hilbert cell, so every output file (and every parquet row group
+    * inside it) covers a spatially COMPACT lon/lat box. A bbox scan then
+    * prunes most files from their min/max column stats, where a hash
+    * layout forces it to touch every file. This is how a 10^12-row pages
+    * table should be laid down once so every later spatial read is
+    * sub-linear. */
+  def writeClustered(
+      df: DataFrame,
+      path: String,
+      lonCol: String,
+      latCol: String,
+      level: Int,
+      partitions: Int): Unit = {
+    val fn = s"hilbert_cell_$level"
+    graft.functions.HilbertCell.register(df.sparkSession, fn, level)
+    df.withColumn("__hkey", call_function(fn, col(lonCol), col(latCol)))
+      .repartitionByRange(partitions, col("__hkey"))
+      .sortWithinPartitions("__hkey")
+      .drop("__hkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Exact kNN via k-ring candidate join with provable termination:
     * a result set for query q is final when it holds >= k candidates whose
     * k-th distance <= ring guarantee (ring * cellSize in degrees). Rings

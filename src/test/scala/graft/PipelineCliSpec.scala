@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Config-file option layer (reference configargparse setup, cli.py:27 +
+  * tests/test_configuration.py semantics: CLI args > config file): the
+  * file contributes defaults, argv always wins, flags and valued options
+  * both parse, comments/blank lines are ignored. */
+class PipelineCliSpec extends AnyFunSuite {
+
+  private def writeCfg(lines: String*): String = {
+    val f = java.nio.file.Files.createTempFile("graftcfg", ".conf")
+    java.nio.file.Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  test("config file supplies defaults: valued options, flags, comments") {
+    val cfg = writeCfg(
+      "# standing options",
+      "step = 25",
+      "rdp 0.00001",
+      "",
+      "pbf",
+      "max-nodes-per-tile = 250000")
+    val opts = PipelineCli.parseOptions(
+      PipelineCli.expandConfig(Seq("--config", cfg, "a.hgt")))
+    assert(opts.cfg.contourStepSize == 25)
+    assert(opts.cfg.rdpEpsilon.contains(1e-5))
+    assert(opts.cfg.maxNodesPerTile == 250000L)
+    assert(opts.format == graft.sinks.TileSink.PbfFormat)
+    assert(opts.files == Seq("a.hgt"))
+  }
+
+  test("explicit argv always beats the config file") {
+    val cfg = writeCfg("step = 25", "pbf", "osm-version = 0.5")
+    val opts = PipelineCli.parseOptions(
+      PipelineCli.expandConfig(Seq("--config", cfg, "--step", "10", "--o5m", "b.hgt")))
+    assert(opts.cfg.contourStepSize == 10) // argv wins
+    assert(opts.format == graft.sinks.TileSink.O5mFormat) // argv wins
+    assert(opts.cfg.osmVersion == 0.5) // file default survives
+  }
+
+  test("no config file: argv parses unchanged; missing --config fails loudly") {
+    val opts = PipelineCli.parseOptions(
+      PipelineCli.expandConfig(Seq("--step", "40", "c.hgt")))
+    assert(opts.cfg.contourStepSize == 40 && opts.files == Seq("c.hgt"))
+    assertThrows[IllegalArgumentException](
+      PipelineCli.expandConfig(Seq("--config", "/nope/missing.conf")))
+  }
+}

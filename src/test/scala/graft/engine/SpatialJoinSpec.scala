@@ -86,6 +86,38 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(fast.toSeq == brute.toSeq)
   }
 
+  test("hilbert-clustered write prunes a bbox scan >= 2x vs hash layout") {
+    val tmp = java.nio.file.Files.createTempDirectory("layout").toString
+    val cols = pages.select("page_id", "lon", "lat")
+    val hashPath = s"$tmp/hash"
+    val hilPath = s"$tmp/hilbert"
+    cols.repartition(16, col("page_id")).write.mode("overwrite").parquet(hashPath)
+    SpatialJoin.writeClustered(cols, hilPath, "lon", "lat", level = 8, partitions = 16)
+    // candidate files for a bbox scan = files whose lon/lat min/max stats
+    // (what parquet footers carry) intersect the query box
+    def candidates(dir: String, lo0: Double, la0: Double, lo1: Double, la1: Double): Int =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).count { f =>
+        val st = spark.read.parquet(f.toString)
+          .agg(min("lon"), max("lon"), min("lat"), max("lat")).collect()(0)
+        !st.isNullAt(0) &&
+          !(st.getDouble(1) < lo0 || st.getDouble(0) > lo1 ||
+            st.getDouble(3) < la0 || st.getDouble(2) > la1)
+      }
+    val (lo0, la0, lo1, la1) = (6.40, 43.40, 6.60, 43.60)
+    val nHash = candidates(hashPath, lo0, la0, lo1, la1)
+    val nHil = candidates(hilPath, lo0, la0, lo1, la1)
+    assert(nHil >= 1)
+    assert(nHash >= 2 * nHil, s"hash=$nHash hilbert=$nHil")
+    // identical content under both layouts
+    val a = spark.read.parquet(hashPath)
+      .filter(col("lon").between(lo0, lo1) && col("lat").between(la0, la1))
+      .select("page_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = spark.read.parquet(hilPath)
+      .filter(col("lon").between(lo0, lo1) && col("lat").between(la0, la1))
+      .select("page_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("batch-table kNN equals brute force on a query TABLE") {
     import spark.implicits._
     // query side is a table: 60 pages themselves plus off-lattice points
