@@ -294,22 +294,29 @@ object Queries {
   private val qJaccard = Q(
     "q27_jaccard_verify",
     (s, dir) => {
-      // ONE shingle explosion, deduped then persisted, reused three ways
-      // (sizes, signatures, intersection join): min() is duplicate-
-      // insensitive, so minhash signatures over the DISTINCT shingle set
-      // equal the multiset form — dedup once, cache the small result, and
-      // the O(len) explode runs a single time instead of three.
-      val sh = shingles8(s, dir).distinct().persist()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      // production verify shape: only CANDIDATES' shingles enter any
+      // shuffle. Signatures come from one cheap map-side partial-min agg
+      // over the raw shingle stream; the candidate doc set (tiny: docs in
+      // some band bucket together) is broadcast-semi-joined against the
+      // shingle stream BEFORE the distinct, so the exact-Jaccard
+      // intersection shuffles ~|candidates| docs' shingles, not the whole
+      // corpus — at 100 TB the difference between shuffling terabytes and
+      // shuffling the suspects.
       val aggs = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
         min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"mh$j")
       }
-      val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val sig = shingles8(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       val keys = Seq("mh0", "mh1", "mh2", "mh3")
       val cand = sig.toDF("doc_a" +: keys: _*)
         .join(sig.toDF("doc_b" +: keys: _*), keys)
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b")
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .unionAll(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val sh = shingles8(s, dir)
+        .join(broadcast(candDocs), Seq("doc_id"), "leftsemi")
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = sh.toDF("doc_a", "h")
         .join(cand, Seq("doc_a"))
         .join(sh.toDF("doc_b", "h"), Seq("doc_b", "h"))
@@ -486,9 +493,13 @@ object Queries {
       val sig = Lsh.signatures(docs, "doc_id", "text", n = 8, numHashes = 8)
       val cand = Lsh.candidatePairs(sig, "doc_id", numHashes = 8, bands = 2)
         .toDF("doc_a", "doc_b")
-      // exact-Jaccard verify of the banded candidates (q27's join shape,
-      // one persisted distinct-shingle explosion)
-      val sh = shingles8(s, dir).distinct().persist()
+      // exact-Jaccard verify of the banded candidates (q27's shape): only
+      // candidate docs' shingles enter the intersection shuffle
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .unionAll(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val sh = shingles8(s, dir)
+        .join(broadcast(candDocs), Seq("doc_id"), "leftsemi")
+        .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = sh.toDF("doc_a", "h")
         .join(cand, Seq("doc_a"))
