@@ -83,9 +83,20 @@ object E2eBench {
       "so per-tile terrain complexity matches the originals. Single shared JVM, warm JIT after rep 1 " +
       "(the reference's <60 s likewise amortizes startup over 104 tiles).\n")
     print(sb)
+    // replace the existing e2e section in place (appending duplicates it)
     val p = java.nio.file.Paths.get("BENCH.md")
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.writeString(p, sb.toString,
-        java.nio.file.StandardOpenOption.APPEND)
+    if (java.nio.file.Files.exists(p)) {
+      val old = java.nio.file.Files.readString(p)
+      val marker = "## End-to-end vs reference anchor"
+      val updated = old.indexOf(marker) match {
+        case -1 => old + sb.toString
+        case i =>
+          val tail = old.substring(i).linesIterator.toSeq.drop(1)
+            .dropWhile(l => !l.startsWith("## "))
+          old.substring(0, i).stripTrailing() + "\n" + sb.toString + "\n" +
+            tail.mkString("\n") + (if (tail.nonEmpty) "\n" else "")
+      }
+      java.nio.file.Files.writeString(p, updated)
+    }
   }
 }

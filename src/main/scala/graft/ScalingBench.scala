@@ -92,8 +92,7 @@ object ScalingBench {
 
   /** One-time setup (not measured): materialize the pages table. */
   def ensurePagesTable(n: Long): Unit = {
-    val dir = new java.io.File(pagesPath(n))
-    if (new java.io.File(dir, "_SUCCESS").exists()) return
+    if (graft.core.Fs.exists(s"${pagesPath(n)}/_SUCCESS")) return
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-pages-setup")
@@ -309,6 +308,16 @@ object ScalingBench {
       "Flagship workload: 2 SRTM tiles -> chop -> marching-squares contours; " +
       "synthetic pages -> geocode -> cell prejoin + PIP join vs contour polygons.\n" +
       "Same job, same input, two parallelism levels (sandbox stand-in for N vs 4N executors).\n\n"
-    java.nio.file.Files.writeString(out, header + sb.toString)
+    // replace only the scaling section; keep every OTHER section of the
+    // existing BENCH.md (repeatability notes, e2e anchor, ceiling studies)
+    val preserved =
+      if (java.nio.file.Files.exists(out)) {
+        // drop everything up to and including the old scaling section (its
+        // "###" subsections too); keep from the first other "## " header on
+        java.nio.file.Files.readString(out).linesIterator.toSeq
+          .dropWhile(l => !l.startsWith("## ") || l.startsWith("## Scaling run"))
+          .mkString("\n") + "\n"
+      } else ""
+    java.nio.file.Files.writeString(out, header + sb.toString + "\n" + preserved)
   }
 }

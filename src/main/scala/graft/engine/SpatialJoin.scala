@@ -139,9 +139,8 @@ object SpatialJoin {
     * Driver-side state is bounded by k x |queries| result rows plus the
     * ring cell lists — NOT by |pages|; the per-ring `.collect()` pulls at
     * most k rows per outstanding query. Queries are a broadcast-sized set
-    * by construction (interactive lookups); a batch kNN over a large query
-    * TABLE should instead cell-join both sides (the q12 oracle-twin
-    * pattern) and let the window do the top-k per query. */
+    * by construction (interactive lookups); for a large query TABLE use
+    * `knnBatch` below (fully columnar, no driver loop, gate q14). */
   def knn(
       pages: DataFrame, // needs page_id, lon, lat, cell
       queries: Seq[(Long, Double, Double)],
