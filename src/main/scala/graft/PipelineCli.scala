@@ -25,7 +25,10 @@ object PipelineCli {
       format: String,
       sourcePrefs: Seq[String],
       polyFile: Option[String],
-      cacheRoot: String)
+      cacheRoot: String,
+      downloadOnly: Boolean = false, // reference --download-only (main.py:56)
+      rewriteIndices: Boolean = false, // reference --rewrite-indices (cli.py:475)
+      logLevel: String = "WARN") // reference --log
 
   /** Config-file layer (the reference's configargparse setup, cli.py:27 +
     * configuration.py:10-11: CLI args > env > ~/.pyhgtmap/config.yaml):
@@ -71,9 +74,22 @@ object PipelineCli {
     var sourcePrefs: Seq[String] = Nil
     var polyFile: Option[String] = None
     var cacheRoot = sys.env.getOrElse("SPARK_GRAFT_CACHE", "/tmp/graft_cache")
+    var downloadOnly = false
+    var rewriteIndices = false
+    var logLevel = "WARN"
     var i = 0
     while (i < args.length) {
       args(i) match {
+        case "--output-prefix" => // reference -o: "<prefix>_" on every tile name
+          cfg = cfg.copy(outputPrefix = Some(args(i + 1))); i += 2
+        case "--xyz" => format = graft.sinks.TileSink.XyzFormat; i += 1
+        case "--plot" => // reference -p PREFIX: xyz data files with a name prefix
+          format = graft.sinks.TileSink.XyzFormat
+          cfg = cfg.copy(outputPrefix = Some(args(i + 1))); i += 2
+        case "--download-only" => downloadOnly = true; i += 1
+        case "--rewrite-indices" => rewriteIndices = true; i += 1
+        case "--log" => logLevel = args(i + 1).toUpperCase; i += 2
+        case "--version" => println("graft 0.3 (pyhgtmap-compatible surface)"); sys.exit(0)
         case "--step" => cfg = cfg.copy(contourStepSize = args(i + 1).toInt); i += 2
         case "--area" => cfg = cfg.copy(area = Some(args(i + 1))); i += 2
         case "--max-nodes-per-tile" => cfg = cfg.copy(maxNodesPerTile = args(i + 1).toLong); i += 2
@@ -106,7 +122,8 @@ object PipelineCli {
         case other => System.err.println(s"unknown option: $other"); sys.exit(2)
       }
     }
-    CliOptions(cfg, files.toSeq, cores, format, sourcePrefs, polyFile, cacheRoot)
+    CliOptions(cfg, files.toSeq, cores, format, sourcePrefs, polyFile, cacheRoot,
+      downloadOnly, rewriteIndices, logLevel)
   }
 
   def main(args: Array[String]): Unit = {
@@ -129,7 +146,14 @@ object PipelineCli {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(opts.logLevel)
+    // reference --rewrite-indices: rebuild the source indices and exit
+    if (opts.rewriteIndices) {
+      graft.sources.Sources.rewriteIndices(cacheRoot,
+        if (sourcePrefs.nonEmpty) sourcePrefs else Seq("arch3"))
+      println("indices rewritten")
+      spark.stop(); return
+    }
     // --poly: clip polygons apply to BOTH tile enumeration and the per-cell
     // trace mask (reference checkPoly semantics)
     val parsedPoly = polyFile.map(graft.core.PolyFile.parseFile)
@@ -153,8 +177,20 @@ object PipelineCli {
       System.err.println(s"resolved ${fetched.length}/${keys.size} tiles from ${sourcePrefs.mkString(",")}")
       files ++= fetched.map(_.getString(2))
     }
+    // reference --download-only: stop after the source pool fetch (main.py:56)
+    if (opts.downloadOnly) {
+      files.foreach(println)
+      println(s"download-only: ${files.size} tiles cached")
+      spark.stop(); return
+    }
     val t0 = System.nanoTime()
-    if (cfg.maxNodesPerTile == 0L) {
+    if (format == graft.sinks.TileSink.XyzFormat) {
+      // reference --plot: raw lon/lat/elev triples, one file per tile
+      val out = RasterPipeline.writeXyz(RasterPipeline.tiles(spark, files.toSeq, cfg), outDir, cfg)
+      val secs = (System.nanoTime() - t0) / 1e9
+      out.foreach(println)
+      println(f"xyz: ${out.size} tiles written in $secs%.1f s")
+    } else if (cfg.maxNodesPerTile == 0L) {
       // reference semantics: --max-nodes-per-tile 0 = ONE merged output
       val out = RasterPipeline.runSingle(spark, files.toSeq, outDir, cfg, format)
       val secs = (System.nanoTime() - t0) / 1e9

@@ -90,6 +90,9 @@ final case class JobConfig(
     corrx: Double = 0.0,
     corry: Double = 0.0,
     osmVersion: Double = 0.6, // reference --osm-version (cli.py:158)
+    // filename prefix for output tiles (reference --output-prefix,
+    // output/factory.py:27: "<prefix>_" prepended when set)
+    outputPrefix: Option[String] = None,
     // epoch seconds to stamp entities with (reference --write-timestamp,
     // output/osmUtil.py:59-62); injected rather than wall-clock so output
     // stays deterministic/resumable

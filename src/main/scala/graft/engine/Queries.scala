@@ -78,18 +78,22 @@ object Queries {
   private val qGeoKnn = Q(
     "q12_geo_knn",
     (s, dir) => {
+      // engine form: the cell-indexed batch kNN operator (ring-discovery +
+      // provably-covering candidate equi-join, SpatialJoin.knnBatch) — NOT
+      // a unionAll of per-query full scans, which reads the table once per
+      // query. The oracle keeps the brute-force union SQL; d2 values are
+      // identical because the literal query coords round-trip exactly
+      // through the query DF and the distance expression is the same
+      // IEEE arithmetic.
+      import s.implicits._
+      val res = 6
       val docs = withDocCoords(t(s, dir, "documents"))
-      val perQuery = KnnQueries.map { case (qid, qLon, qLat) =>
-        docs.select(
-          lit(qid).as("q_id"),
-          col("doc_id"),
-          GeoCols.sqDist(col("lon"), col("lat"), qLon, qLat).as("d2"))
-      }.reduce(_ unionAll _)
-      val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("doc_id").asc)
-      perQuery
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("doc_id"), round(col("d2"), 8).as("d2"))
+        .withColumn("cell", GeoCols.cellId(col("lon"), col("lat"), res))
+        .withColumn("page_id", col("doc_id"))
+      val queries = KnnQueries.toDF("q_id", "q_lon", "q_lat")
+      SpatialJoin.knnBatch(docs, queries, k = 5, res = res)
+        .select(col("q_id").cast("int").as("q_id"), col("rank"),
+          col("page_id").as("doc_id"), round(col("d2"), 8).as("d2"))
         .orderBy("q_id", "rank")
     },
     Some {

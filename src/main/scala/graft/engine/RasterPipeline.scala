@@ -282,6 +282,7 @@ object RasterPipeline {
     val medium = cfg.lineCatsMedium
     val osmV = cfg.osmVersion
     val ts = cfg.writeTimestamp
+    val pfx = cfg.outputPrefix.getOrElse("")
     val single = singleFileName
     // single-output mode (reference processor.py:273-336): one file over
     // the global bbox, ALL nodes before ALL ways, tiles serialized through
@@ -325,7 +326,7 @@ object RasterPipeline {
               wayStart = off.wayStart
               t0 = System.nanoTime()
               val bbox = BBox(row.minLon, row.minLat, row.maxLon, row.maxLat)
-              fileName = s"$outDir/${graft.sinks.TileSink.fileName(bbox, row.key, format)}"
+              fileName = s"$outDir/${graft.sinks.TileSink.fileName(bbox, row.key, format, pfx)}"
               writer = graft.sinks.TileSink.open(fileName, bbox, format, osmV, ts)
             } else {
               // one writer for the whole run: global bbox = union of tiles
@@ -392,7 +393,7 @@ object RasterPipeline {
       }
       require(boxes.nonEmpty, "no tiles to write")
       val union = TileKeys.areaUnion(boxes.toSeq)
-      val name = graft.sinks.TileSink.fileName(union, "", format)
+      val name = graft.sinks.TileSink.fileName(union, "", format, cfg.outputPrefix.getOrElse(""))
       writeOsmXml(cs, offs, outDir, cfg,
         singleFileName = Some(name), format = format, singleBBox = Some(union))
     } finally {
@@ -462,6 +463,7 @@ object RasterPipeline {
     graft.core.Fs.mkdirs(outDir)
     val voidMax = cfg.voidMax
     val smoothRatio = cfg.smoothRatio
+    val prefix = cfg.outputPrefix.getOrElse("")
     val files = tilesDs
       .repartitionByRange(col("key"), col("tileIdx"))
       .sortWithinPartitions("path", "tileIdx")
@@ -469,7 +471,8 @@ object RasterPipeline {
         it.map { tr =>
           val g = GridCache.grid(tr.path, voidMax, smoothRatio, false)
           val name = graft.sinks.TileSink.fileName(
-            BBox(tr.minLon, tr.minLat, tr.maxLon, tr.maxLat), tr.key, graft.sinks.TileSink.XyzFormat)
+            BBox(tr.minLon, tr.minLat, tr.maxLon, tr.maxLat), tr.key,
+            graft.sinks.TileSink.XyzFormat, prefix)
           val path = s"$outDir/$name"
           val w = new java.io.BufferedWriter(
             new java.io.OutputStreamWriter(graft.core.Fs.create(path),

@@ -18,9 +18,12 @@ object TileSink {
   val PbfFormat = "pbf"
   val XyzFormat = "xyz" // debug triples, reference HgtTile.plotData
 
-  def fileName(bbox: BBox, key: String, format: String): String = {
+  def fileName(bbox: BBox, key: String, format: String, prefix: String = ""): String = {
+    // reference --output-prefix: "<prefix>_" before the lon/lat name
+    // (output/factory.py:27)
+    val pfx = if (prefix.isEmpty) "" else s"${prefix}_"
     val base = OsmXml.tileFileName(bbox.minLon, bbox.minLat, bbox.maxLon, bbox.maxLat,
-      suffix = if (key.isEmpty) "" else s"_$key")
+      prefix = pfx, suffix = if (key.isEmpty) "" else s"_$key")
     format match {
       case OsmGzFormat => base + ".gz"
       case O5mFormat => base.stripSuffix(".osm") + ".o5m"

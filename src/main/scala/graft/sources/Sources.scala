@@ -27,6 +27,10 @@ trait DemSource extends Serializable {
     * cacheRoot; None if this source cannot provide it. */
   def fetch(cacheRoot: String, key: String, resolution: Int): Option[String]
 
+  /** Force-rebuild any persisted availability index (reference
+    * --rewrite-indices, NASASRTMUtil.py:421). Default: nothing persisted. */
+  def refreshIndex(cacheRoot: String, resolution: Int): Unit = ()
+
   /** Keys this source can currently provide WITHOUT fetching (the
     * reference's per-source index files, NASASRTMUtil.py:163-290). The
     * default indexes the local cache; sources with a remote catalogue
@@ -220,6 +224,13 @@ final class ArchiveSource(mirrorBase: String) extends DemSource {
     val cachedKeys = super.index(cacheRoot, resolution)
     (cachedKeys ++ catalogue(cacheRoot, resolution).keys).distinct
   }
+
+  /** Force-rebuild the persisted catalogue (reference --rewrite-indices). */
+  override def refreshIndex(cacheRoot: String, resolution: Int): Unit = {
+    catCache = null
+    graft.core.Fs.delete(indexPath(cacheRoot, resolution))
+    catalogue(cacheRoot, resolution)
+  }
 }
 
 object Sources {
@@ -253,6 +264,13 @@ object Sources {
         throw new IllegalArgumentException(s"unknown DEM source '$nick' (registered: ${registry.keys.mkString(",")})"))
       require(src.supportedResolutions.contains(res), s"$nick does not support ${res}s resolution")
       (src, res)
+    }
+
+  /** Force-rebuild every preference source's availability index
+    * (reference --rewrite-indices semantics, cli.py:475-476). */
+  def rewriteIndices(cacheRoot: String, prefs: Seq[String]): Unit =
+    parsePreference(prefs).foreach { case (src, res) =>
+      src.refreshIndex(cacheRoot, res)
     }
 
   /** Availability index across preference-ordered sources (S13): one

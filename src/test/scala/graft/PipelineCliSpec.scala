@@ -40,6 +40,20 @@ class PipelineCliSpec extends AnyFunSuite {
     assert(opts.cfg.osmVersion == 0.5) // file default survives
   }
 
+  test("reference option surface: prefix/plot/download-only/rewrite-indices/log") {
+    val o1 = PipelineCli.parseOptions(Seq("--output-prefix", "alps", "--download-only", "a.hgt"))
+    assert(o1.cfg.outputPrefix.contains("alps") && o1.downloadOnly)
+    val o2 = PipelineCli.parseOptions(Seq("--plot", "dbg", "--log", "info"))
+    assert(o2.format == graft.sinks.TileSink.XyzFormat)
+    assert(o2.cfg.outputPrefix.contains("dbg") && o2.logLevel == "INFO")
+    val o3 = PipelineCli.parseOptions(Seq("--rewrite-indices", "--xyz"))
+    assert(o3.rewriteIndices && o3.format == graft.sinks.TileSink.XyzFormat)
+    // prefix lands in the tile file name as "<prefix>_" (factory.py:27)
+    val n = graft.sinks.TileSink.fileName(
+      graft.core.BBox(6, 43, 7, 44), "N43E006", graft.sinks.TileSink.PbfFormat, "alps")
+    assert(n == "alps_lon6.00_7.00lat43.00_44.00_N43E006.osm.pbf")
+  }
+
   test("no config file: argv parses unchanged; missing --config fails loudly") {
     val opts = PipelineCli.parseOptions(
       PipelineCli.expandConfig(Seq("--step", "40", "c.hgt")))
