@@ -86,12 +86,15 @@ object Queries {
       // through the query DF and the distance expression is the same
       // IEEE arithmetic.
       import s.implicits._
-      val res = 6
+      // res is a pure density knob (results exact at any res): coarser
+      // cells shrink the radius-discovery fanout (2·maxR+1)^2 per query at
+      // the cost of slightly larger candidate sets for the top-k window
+      val res = 4
       val docs = withDocCoords(t(s, dir, "documents"))
         .withColumn("cell", GeoCols.cellId(col("lon"), col("lat"), res))
         .withColumn("page_id", col("doc_id"))
       val queries = KnnQueries.toDF("q_id", "q_lon", "q_lat")
-      SpatialJoin.knnBatch(docs, queries, k = 5, res = res)
+      SpatialJoin.knnBatch(docs, queries, k = 5, res = res, maxR = 16)
         .select(col("q_id").cast("int").as("q_id"), col("rank"),
           col("page_id").as("doc_id"), round(col("d2"), 8).as("d2"))
         .orderBy("q_id", "rank")
@@ -140,13 +143,13 @@ object Queries {
   private val qGeoKnnBatch = Q(
     "q14_geo_knn_batch",
     (s, dir) => {
-      val res = 6
+      val res = 4 // density knob, see q12 note — exact at any res
       val docs = withDocCoords(t(s, dir, "documents"))
         .withColumn("cell", GeoCols.cellId(col("lon"), col("lat"), res))
         .withColumn("page_id", col("doc_id"))
       val queries = docs.filter(col("doc_id") < 100)
         .select(col("doc_id").as("q_id"), col("lon").as("q_lon"), col("lat").as("q_lat"))
-      SpatialJoin.knnBatch(docs, queries, k = 5, res = res)
+      SpatialJoin.knnBatch(docs, queries, k = 5, res = res, maxR = 16)
         .select(col("q_id"), col("rank"), col("page_id").as("doc_id"),
           round(col("d2"), 8).as("d2"))
         .orderBy("q_id", "rank")

@@ -207,7 +207,13 @@ object SpatialJoin {
     *
     * Queries whose maxR neighbourhood holds < k pages are absent from the
     * output (raise maxR / coarsen res for sparse data). Returns
-    * (q_id, rank, page_id, d2). */
+    * (q_id, rank, page_id, d2).
+    *
+    * `res` is a pure density/cost knob — results are EXACT at any res.
+    * Coarser cells shrink pass 1's per-query fanout (2·maxR+1)^2
+    * quadratically while growing the pass-2 candidate set linearly with
+    * cell area; size res so the expected k-NN radius spans a few cells
+    * (and maxR·cellSize still covers the sparsest query's k-neighbourhood). */
   def knnBatch(
       pages: DataFrame, // needs page_id, lon, lat, cell (at `res`)
       queries: DataFrame, // (q_id, q_lon, q_lat)
