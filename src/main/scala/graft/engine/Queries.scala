@@ -593,6 +593,51 @@ object Queries {
            |       WHERE length(text) >= 3 GROUP BY 1, 2))
            |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin))
 
+  /** n-gram-profile language ID (the real heuristic, vs q24's one-token
+    * guess): train = top-20 3-grams per language (tiny profile table,
+    * broadcast); classify = distinct doc-grams ⋈ profile, argmax match
+    * count per doc. Linear explode + small-window train + broadcast join:
+    * the classic Cavnar-Trenkle shape a corpus-scale pipeline runs. Docs
+    * sharing no profile gram are absent (symmetric on both engines). */
+  private val qLangId = Q(
+    "q39_lang_id",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(length(col("text")) >= 3)
+      val grams = docs
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1), length(col("text")) - 2)).as("i"), col("text"))
+        .select(col("doc_id"), col("lang"), expr("substring(text, i, 3)").as("gram"))
+      val counts = grams.groupBy("lang", "gram").agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy("lang").orderBy(col("n").desc, col("gram").asc)
+      val profile = counts.withColumn("r", row_number().over(wp)).filter(col("r") <= 20)
+        .select(col("lang").as("profile_lang"), col("gram"))
+      val docGrams = grams.select("doc_id", "lang", "gram").distinct()
+      val scored = docGrams.join(broadcast(profile), Seq("gram"))
+        .groupBy("doc_id", "lang", "profile_lang")
+        .agg(count(lit(1)).as("matches"))
+      val wd = Window.partitionBy("doc_id").orderBy(col("matches").desc, col("profile_lang").asc)
+      scored.withColumn("r", row_number().over(wd)).filter(col("r") === 1)
+        .select(col("doc_id"), col("lang"), col("profile_lang").as("lang_pred"),
+          col("matches"), (col("profile_lang") === col("lang")).as("correct"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH grams AS (SELECT doc_id, lang, substr(text, i, 3) AS gram
+           |  FROM documents, LATERAL unnest(generate_series(1, length(text) - 2)) AS t(i)
+           |  WHERE length(text) >= 3),
+           | counts AS (SELECT lang, gram, count(*) AS n FROM grams GROUP BY 1, 2),
+           | profile AS (SELECT lang AS profile_lang, gram FROM (
+           |   SELECT lang, gram,
+           |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram ASC) AS r
+           |   FROM counts) WHERE r <= 20),
+           | docgrams AS (SELECT DISTINCT doc_id, lang, gram FROM grams),
+           | scored AS (SELECT d.doc_id, d.lang, p.profile_lang, count(*) AS matches
+           |   FROM docgrams d JOIN profile p ON d.gram = p.gram GROUP BY 1, 2, 3)
+           |SELECT doc_id, lang, profile_lang AS lang_pred, matches,
+           | (profile_lang = lang) AS correct
+           |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |       ORDER BY matches DESC, profile_lang ASC) AS r FROM scored)
+           |WHERE r = 1 ORDER BY doc_id""".stripMargin))
+
   private val qRoundtrip = Q(
     "q26_text_roundtrip",
     (s, dir) => {
@@ -627,6 +672,12 @@ object Queries {
            |  THEN 1 ELSE 0 END AS new_session
            | FROM events)
            |GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  private val qStreamDedup = Q(
+    "q42_stream_dedup",
+    (s, dir) => Streaming.dedupStream(s, s"$dir/documents.parquet"),
+    Some("""SELECT lang, count(DISTINCT text) AS n_unique
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
   // --------------------------------------------------------------- embeddings ---
 
@@ -734,6 +785,36 @@ object Queries {
             | FROM ($embDimsSql) l JOIN ($embDimsSql) r ON l.i = r.i AND l.vec_id < r.vec_id
             | GROUP BY 1, 2)
             |WHERE r_cos >= 0.44 ORDER BY a, b""".stripMargin))
+
+  /** Int8 embedding quantization (the storage/serving compression step
+    * before ANN serving): per-vector symmetric scale = max|x|,
+    * q_i = floor(x_i·127/scale + 0.5). Pure narrow array expressions — no
+    * dims explode, no shuffle beyond the output sort. All outputs are
+    * integers (explicit floor form: round()'s half-way semantics differ
+    * between engines, see q37 history). */
+  private val qQuantize = Q(
+    "q43_emb_quantize",
+    (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+        .withColumn("q", expr("transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT))"))
+        .select(col("vec_id"),
+          expr("CAST(floor(scale * 1000000 + 0.5) AS BIGINT)").as("scale_u"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
+          expr("array_min(q)").as("q_min"),
+          expr("array_max(q)").as("q_max"))
+        .orderBy("vec_id"),
+    Some("""WITH v AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           | s AS (SELECT vec_id, v,
+           |  list_max(list_transform(v, x -> abs(x))) AS scale FROM v),
+           | q AS (SELECT vec_id, scale,
+           |  list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)) AS q FROM s)
+           |SELECT vec_id, CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_u,
+           | CAST(list_sum(q) AS BIGINT) AS q_sum,
+           | CAST(list_min(q) AS BIGINT) AS q_min, CAST(list_max(q) AS BIGINT) AS q_max
+           |FROM q ORDER BY vec_id""".stripMargin))
 
   /** BPE-ish subword token counting: vowel-run / consonant-run chunks via
     * regexp_extract_all (the whitespace token count lives in q24). */
@@ -1076,8 +1157,8 @@ object Queries {
     qBrandRevenue, qRegionSupplier,
     qGeoCell, qGeoPip, qGeoKnn, qGeoKnnBatch, qGeoTiles, qGeoBands,
     qDedupExact, qMinhash, qNearDup, qSimhash, qSimhashNearDup, qTextStats, qNgrams,
-    qJaccard, qFingerprint, qQuality, qSubwords, qBandedLsh, qMultimodal,
-    qRoundtrip, qStreamHourly, qStreamSessions,
-    qEmbStats, qAnn, qCentroids, qIvf, qEmbNearDup,
+    qJaccard, qFingerprint, qQuality, qSubwords, qBandedLsh, qMultimodal, qLangId,
+    qRoundtrip, qStreamHourly, qStreamSessions, qStreamDedup,
+    qEmbStats, qAnn, qCentroids, qIvf, qEmbNearDup, qQuantize,
     qContourGolden, qChopGolden)
 }

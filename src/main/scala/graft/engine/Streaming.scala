@@ -101,6 +101,39 @@ object Streaming {
       .start()
   }
 
+  /** Streaming exact dedup — the ingest-time twin of q20: state is keyed
+    * by (lang, content-hash) so raw text never enters streaming state or
+    * any exchange, and per-lang unique counts come out in complete mode.
+    * Only the count is emitted: WHICH duplicate survives dropDuplicates
+    * depends on arrival order, but the surviving KEY SET does not. */
+  def dedupStream(spark: SparkSession, docsPath: String): DataFrame = {
+    val schema = spark.read.parquet(docsPath).schema
+    val stream = streamOf(spark, docsPath, schema)
+    val agg = stream
+      .select(col("lang"), sha2(col("text"), 256).as("tkey"))
+      .dropDuplicates("lang", "tkey")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_unique"))
+    val qn = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(qn).outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(qn).orderBy("lang")
+  }
+
+  /** Production form of the streaming dedup: event-time watermark +
+    * dropDuplicatesWithinWatermark, so dedup state ages out instead of
+    * growing with the corpus — the only shape that survives an unbounded
+    * ingest stream. Returns the deduped stream for a downstream sink. */
+  def dedupWithinWatermark(
+      docs: DataFrame, // streaming, needs ts + text columns
+      watermark: String): DataFrame =
+    docs
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .withColumn("tkey", sha2(col("text"), 256))
+      .dropDuplicatesWithinWatermark("tkey")
+
   /** Drive sessionize as a real streaming query over the events table. */
   def sessionizeStream(spark: SparkSession, eventsPath: String): DataFrame = {
     import spark.implicits._

@@ -75,4 +75,39 @@ class StreamingSinkSpec extends AnyFunSuite {
       .count()
     assert(mismatched == 0, "finalized windows diverge from batch values")
   }
+
+  test("dropDuplicatesWithinWatermark dedups across micro-batches, state bounded") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+    def writeDocs(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = s"$base/tmp_$name"
+      rows.toDF("doc_id", "ts_s", "text")
+        .select(col("doc_id"), col("ts_s").cast("timestamp").as("ts"), col("text"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+    // duplicates within the watermark horizon, spread over two micro-batches
+    writeDocs("b1", Seq(
+      (1L, "2024-01-01 10:00:00", "alpha"),
+      (2L, "2024-01-01 10:05:00", "beta"),
+      (3L, "2024-01-01 10:10:00", "alpha"))) // dup of 1 (same batch)
+    writeDocs("b2", Seq(
+      (4L, "2024-01-01 10:20:00", "beta"), // dup of 2 (across batches)
+      (5L, "2024-01-01 10:25:00", "gamma")))
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val out = Streaming.dedupWithinWatermark(stream, watermark = "1 hour")
+    val qn = "dedup_wm_test"
+    val q = out.select("doc_id", "text").writeStream
+      .format("memory").queryName(qn).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val texts = spark.table(qn).select("text").collect().map(_.getString(0)).sorted.toSeq
+    assert(texts == Seq("alpha", "beta", "gamma"), s"got $texts")
+  }
 }
