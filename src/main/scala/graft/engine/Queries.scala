@@ -611,6 +611,13 @@ object Queries {
       val wp = Window.partitionBy("lang").orderBy(col("n").desc, col("gram").asc)
       val profile = counts.withColumn("r", row_number().over(wp)).filter(col("r") <= 20)
         .select(col("lang").as("profile_lang"), col("gram"))
+      // the train aggregation (for the profile broadcast) and the classify
+      // distinct below are INDEPENDENT shuffle-map stages over the same
+      // gram explode, so Spark runs them concurrently inside one job —
+      // measured faster than both "cheaper" forms that serialize them
+      // (collecting the profile first, or semi-filtering the stream on
+      // profile grams: each added a blocking dependency and lost more to
+      // serialization than it saved in rows)
       val docGrams = grams.select("doc_id", "lang", "gram").distinct()
       val scored = docGrams.join(broadcast(profile), Seq("gram"))
         .groupBy("doc_id", "lang", "profile_lang")

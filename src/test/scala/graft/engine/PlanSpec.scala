@@ -118,6 +118,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q43 quantization is narrow: no explode, no join") {
+    val q = Queries.all.find(_.name == "q43_emb_quantize").get
+    val df = q.impl(spark, dir)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q39 language-ID classifies via a broadcast profile join") {
+    val q = Queries.all.find(_.name == "q39_lang_id").get
+    val df = q.impl(spark, dir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("pip/shingle/wrap codegen matches interpreted eval") {
     import spark.implicits._
     // force both paths: default (codegen) vs spark.sql.codegen.factoryMode
