@@ -70,9 +70,11 @@ final class SynthSource extends DemSource {
 }
 
 /** Read-only local cache source: serves whatever a previous provisioning
-  * step placed under its cache dir; never creates files. */
-final class LocalDirSource extends DemSource {
-  val nickname = "locl"
+  * step placed under its cache dir; never creates files. Also the
+  * zero-egress stand-in shape for the reference's per-tile download
+  * sources (srtm/sonny), which differ only in WHERE the cache dir gets
+  * provisioned from. */
+final class LocalDirSource(val nickname: String = "locl") extends DemSource {
   override def fetch(cacheRoot: String, key: String, resolution: Int): Option[String] = {
     val p = s"${cacheDir(cacheRoot, resolution)}/$key.hgt"
     if (validCached(p, resolution)) Some(p) else None
@@ -86,8 +88,11 @@ final class LocalDirSource extends DemSource {
   * archive is fetched from a mirror URI (any Hadoop-FS scheme; file:// in
   * this sandbox), unpacked, and every member tile lands in the cache so
   * neighbouring fetches hit warm. */
-final class ArchiveSource(mirrorBase: String) extends DemSource {
-  val nickname = "arch"
+final class ArchiveSource(
+    mirrorBase: String,
+    val nickname: String = "arch",
+    resolutions: Seq[Int] = Seq(1, 3)) extends DemSource {
+  override def supportedResolutions: Seq[Int] = resolutions
 
   /** In-JVM catalogue cache; never serialized (each executor re-reads the
     * persisted index or rebuilds from the mirror). */
@@ -245,8 +250,19 @@ object Sources {
   register(new LocalDirSource)
   // archive mirror base resolves from the environment so spark-submit can
   // point it at the cluster's mirror; default matches the test layout
-  register(new ArchiveSource(
-    sys.env.getOrElse("SPARK_GRAFT_ARCHIVE_MIRROR", "/tmp/graft_mirror")))
+  private def mirror(env: String): String =
+    sys.env.getOrElse(env,
+      sys.env.getOrElse("SPARK_GRAFT_ARCHIVE_MIRROR", "/tmp/graft_mirror"))
+  register(new ArchiveSource(mirror("SPARK_GRAFT_ARCHIVE_MIRROR")))
+  // the reference's source nicknames (sources/*.py NICKNAME) so its
+  // preference strings parse unchanged: viewfinder and ALOS ship
+  // multi-tile zip archives (archive-mirror shape; ALOS is 1" only,
+  // alos.py:63), srtm and sonny are per-tile downloads (read-only
+  // provisioned-cache shape under the zero-egress mandate)
+  register(new ArchiveSource(mirror("SPARK_GRAFT_VIEW_MIRROR"), "view"))
+  register(new ArchiveSource(mirror("SPARK_GRAFT_ALOS_MIRROR"), "alos", Seq(1)))
+  register(new LocalDirSource("srtm"))
+  register(new LocalDirSource("sonn"))
 
   def get(nickname: String): Option[DemSource] = registry.get(nickname.toLowerCase)
 

@@ -109,6 +109,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(resolved == Map("locl3" -> "N30E030", "locl1" -> "N31E030"))
   }
 
+  test("reference nicknames parse: view/alos archive-shaped, srtm/sonn cache-shaped") {
+    val parsed = Sources.parsePreference(Seq("view1", "view3", "srtm1", "sonn1", "alos1"))
+    assert(parsed.map(_._1.nickname) == Seq("view", "view", "srtm", "sonn", "alos"))
+    // ALOS is 1-arcsecond only (reference alos.py:63)
+    assertThrows[IllegalArgumentException](Sources.parsePreference(Seq("alos3")))
+    assert(Sources.get("view").get.isInstanceOf[ArchiveSource])
+    assert(Sources.get("srtm").get.isInstanceOf[LocalDirSource])
+    // a provisioned SRTM1 cache serves through the reference nickname
+    val root = java.nio.file.Files.createTempDirectory("srtmroot").toString
+    val side = 3601
+    graft.synth.SynthDem.writeHgt(s"$root/SRTM1", 40, 8, side)
+    assert(Sources.get("srtm").get.fetch(root, "N40E008", 1)
+      .contains(s"$root/SRTM1/N40E008.hgt"))
+  }
+
   test("archive index persists, detects staleness/corruption, self-heals") {
     val mirror = java.nio.file.Files.createTempDirectory("mirror2").toString
     val cacheRoot = java.nio.file.Files.createTempDirectory("archcache2").toString
