@@ -238,6 +238,88 @@ final class ArchiveSource(
   }
 }
 
+/** Per-tile remote source (S11, the srtm/sonny downloader shape): each
+  * tile resolves through a URI TEMPLATE (`{key}`, `{res}`, `{group}`
+  * placeholders) against any Hadoop-FS base — file:// in this sandbox,
+  * http-backed FS / object store on a cluster; the network transport
+  * itself is excused by the zero-egress mandate, everything around it is
+  * real: template resolution, single-member .zip / .gz unwrapping
+  * (NASA ships N43E006.SRTMGL1.hgt.zip), bounded retry, and the same
+  * validated tmp+rename cache publish as ArchiveSource. */
+final class UriTemplateSource(
+    base: String,
+    template: String, // e.g. "{res}/{key}.hgt.zip" or "{key}.hgt.gz"
+    val nickname: String,
+    resolutions: Seq[Int] = Seq(1, 3),
+    retries: Int = 2) extends DemSource {
+  override def supportedResolutions: Seq[Int] = resolutions
+
+  private def resolve(key: String, res: Int): String = {
+    val bbox = graft.core.Hgt.parseHgtFilename(s"$key.hgt")
+    val group = graft.core.Hgt.alosGroupKey(bbox.minLat.toInt, bbox.minLon.toInt)
+    s"$base/${template.replace("{key}", key).replace("{res}", res.toString).replace("{group}", group)}"
+  }
+
+  /** Unwrap the remote payload to raw .hgt bytes on the fly. */
+  private def open(uri: String): java.io.InputStream = {
+    val raw = new java.io.BufferedInputStream(graft.core.Fs.open(uri), 1 << 16)
+    if (uri.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw, 1 << 16)
+    else if (uri.endsWith(".zip")) {
+      val zin = new java.util.zip.ZipInputStream(raw)
+      var e = zin.getNextEntry
+      while (e != null && (e.isDirectory || !e.getName.endsWith(".hgt"))) {
+        zin.closeEntry(); e = zin.getNextEntry
+      }
+      require(e != null, s"no .hgt member in $uri")
+      zin
+    } else raw
+  }
+
+  override def fetch(cacheRoot: String, key: String, resolution: Int): Option[String] = {
+    if (!supportedResolutions.contains(resolution)) return None
+    val dir = cacheDir(cacheRoot, resolution)
+    val dst = s"$dir/$key.hgt"
+    if (validCached(dst, resolution)) return Some(dst)
+    val uri = try resolve(key, resolution) catch { case _: Exception => return None }
+    if (!graft.core.Fs.exists(uri)) return None
+    graft.core.Fs.mkdirs(dir)
+    var attempt = 0
+    while (attempt <= retries) {
+      attempt += 1
+      val tmp = s"$dir/.$key.${java.util.UUID.randomUUID().toString.take(8)}.tmp"
+      try {
+        val in = open(uri)
+        val out = graft.core.Fs.create(tmp)
+        try {
+          val buf = new Array[Byte](1 << 16)
+          var n = in.read(buf)
+          while (n >= 0) {
+            if (n > 0) out.write(buf, 0, n)
+            n = in.read(buf)
+          }
+        } finally { out.close(); in.close() }
+        // validate BEFORE publish: a truncated transfer never enters the
+        // cache (explicit size check — validCached only applies to .hgt)
+        val side = 3600 / resolution + 1
+        val len = graft.core.Fs.fileLength(tmp)
+        if (len != 2L * side * side)
+          throw new java.io.IOException(s"bad size for $key: $len")
+        try graft.core.Fs.rename(tmp, dst)
+        catch { // lost a concurrent publish race: fine iff winner validates
+          case e: java.io.IOException =>
+            graft.core.Fs.delete(tmp)
+            if (!validCached(dst, resolution)) throw e
+        }
+        return Some(dst)
+      } catch {
+        case _: Exception if attempt <= retries => graft.core.Fs.delete(tmp)
+        case e: Exception => graft.core.Fs.delete(tmp); throw e
+      }
+    }
+    None // unreachable
+  }
+}
+
 object Sources {
   private val registry = scala.collection.concurrent.TrieMap.empty[String, DemSource]
 
@@ -261,8 +343,15 @@ object Sources {
   // provisioned-cache shape under the zero-egress mandate)
   register(new ArchiveSource(mirror("SPARK_GRAFT_VIEW_MIRROR"), "view"))
   register(new ArchiveSource(mirror("SPARK_GRAFT_ALOS_MIRROR"), "alos", Seq(1)))
-  register(new LocalDirSource("srtm"))
-  register(new LocalDirSource("sonn"))
+  // per-tile sources: serve from cache first; fetch single tiles through
+  // a URI template against any Hadoop-FS base when one is provisioned
+  // (srtm ships zipped NASA-style names, sonny gzipped tiles)
+  register(new UriTemplateSource(
+    sys.env.getOrElse("SPARK_GRAFT_SRTM_BASE", "/tmp/graft_srtm"),
+    "{key}.SRTMGL{res}.hgt.zip", "srtm"))
+  register(new UriTemplateSource(
+    sys.env.getOrElse("SPARK_GRAFT_SONN_BASE", "/tmp/graft_sonn"),
+    "{res}/{key}.hgt.gz", "sonn"))
 
   def get(nickname: String): Option[DemSource] = registry.get(nickname.toLowerCase)
 

@@ -115,13 +115,48 @@ class SourcesSpec extends AnyFunSuite {
     // ALOS is 1-arcsecond only (reference alos.py:63)
     assertThrows[IllegalArgumentException](Sources.parsePreference(Seq("alos3")))
     assert(Sources.get("view").get.isInstanceOf[ArchiveSource])
-    assert(Sources.get("srtm").get.isInstanceOf[LocalDirSource])
+    assert(Sources.get("srtm").get.isInstanceOf[UriTemplateSource])
     // a provisioned SRTM1 cache serves through the reference nickname
     val root = java.nio.file.Files.createTempDirectory("srtmroot").toString
     val side = 3601
     graft.synth.SynthDem.writeHgt(s"$root/SRTM1", 40, 8, side)
     assert(Sources.get("srtm").get.fetch(root, "N40E008", 1)
       .contains(s"$root/SRTM1/N40E008.hgt"))
+  }
+
+  test("per-tile URI-template source: zip + gz unwrap, size gate, cache publish") {
+    val base = java.nio.file.Files.createTempDirectory("uribase").toString
+    val cacheRoot = java.nio.file.Files.createTempDirectory("uricache").toString
+    val scratch = java.nio.file.Files.createTempDirectory("uriscratch").toString
+    val syn = new SynthSource
+    val hgt = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(syn.fetch(scratch, "N41E009", 3).get))
+    // NASA-style single-member zip
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$base/N41E009.SRTMGL3.hgt.zip"))
+    zos.putNextEntry(new java.util.zip.ZipEntry("N41E009.hgt"))
+    zos.write(hgt); zos.closeEntry(); zos.close()
+    val srtm = new UriTemplateSource(base, "{key}.SRTMGL{res}.hgt.zip", "srtm")
+    assert(srtm.fetch(cacheRoot, "N41E009", 3).contains(s"$cacheRoot/SRTM3/N41E009.hgt"))
+    assert(new java.io.File(s"$cacheRoot/SRTM3/N41E009.hgt").length == 2L * 1201 * 1201)
+    // second fetch is a cache hit (delete the remote: still served)
+    new java.io.File(s"$base/N41E009.SRTMGL3.hgt.zip").delete()
+    assert(srtm.fetch(cacheRoot, "N41E009", 3).isDefined)
+    // gzipped variant
+    val gzDir = new java.io.File(s"$base/3"); gzDir.mkdirs()
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$base/3/N42E009.hgt.gz"))
+    gz.write(hgt); gz.close()
+    val sonn = new UriTemplateSource(base, "{res}/{key}.hgt.gz", "sonn")
+    assert(sonn.fetch(cacheRoot, "N42E009", 3).contains(s"$cacheRoot/SONN3/N42E009.hgt"))
+    // truncated payload NEVER enters the cache (size gate before publish)
+    val bad = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$base/3/N43E009.hgt.gz"))
+    bad.write(hgt, 0, 1000); bad.close()
+    assertThrows[java.io.IOException](sonn.fetch(cacheRoot, "N43E009", 3))
+    assert(!new java.io.File(s"$cacheRoot/SONN3/N43E009.hgt").exists())
+    // absent remote falls through quietly (preference order moves on)
+    assert(sonn.fetch(cacheRoot, "N44E009", 3).isEmpty)
   }
 
   test("archive index persists, detects staleness/corruption, self-heals") {
