@@ -48,7 +48,8 @@ object PipelineCli {
         },
         args)
     val fileArgs = cfgFile.toSeq.flatMap { f =>
-      require(new java.io.File(f).isFile, s"config file not found: $f")
+      // Hadoop-FS check: config may live on any scheme (hdfs://, s3a://)
+      require(graft.core.Fs.fileLength(f) >= 0, s"config file not found: $f")
       graft.core.Fs.readString(f).linesIterator
         .map(_.trim)
         .filter(l => l.nonEmpty && !l.startsWith("#"))
@@ -127,6 +128,10 @@ object PipelineCli {
   }
 
   def main(args: Array[String]): Unit = {
+    // before the arity check, so the natural `PipelineCli --version` works
+    if (args.contains("--version")) {
+      println("graft 0.3 (pyhgtmap-compatible surface)"); return
+    }
     if (args.length < 2) {
       System.err.println("usage: PipelineCli <out-dir> <file.hgt>... [options]"); sys.exit(2)
     }

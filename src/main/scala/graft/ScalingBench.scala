@@ -313,10 +313,18 @@ object ScalingBench {
     val preserved =
       if (java.nio.file.Files.exists(out)) {
         // drop everything up to and including the old scaling section (its
-        // "###" subsections too); keep from the first other "## " header on
-        java.nio.file.Files.readString(out).linesIterator.toSeq
+        // "###" subsections too); keep every other "## " section, and
+        // defensively drop any FURTHER "## Scaling run" section so a
+        // reordered file can never end up with two
+        val kept = java.nio.file.Files.readString(out).linesIterator.toSeq
           .dropWhile(l => !l.startsWith("## ") || l.startsWith("## Scaling run"))
-          .mkString("\n") + "\n"
+        val noStray = scala.collection.mutable.ArrayBuffer.empty[String]
+        var skipping = false
+        kept.foreach { l =>
+          if (l.startsWith("## ")) skipping = l.startsWith("## Scaling run")
+          if (!skipping) noStray += l
+        }
+        noStray.mkString("\n") + "\n"
       } else ""
     java.nio.file.Files.writeString(out, header + sb.toString + "\n" + preserved)
   }

@@ -96,11 +96,34 @@ object Fs {
     if (!f.rename(s, d)) throw new java.io.IOException(s"rename $src -> $dst failed")
   }
 
+  /** Publish rename that never deletes an existing destination: local FS
+    * rename atomically replaces (same content in publish races, no
+    * deleted-file window); HDFS-style FSes fail on an existing dst, which
+    * callers treat as "another publisher won" after validating dst. The
+    * delete-then-rename `rename` above is for paths that INTEND replace
+    * (commit logs); using it for cache publishes opens a window where a
+    * concurrently-published valid file is deleted. */
+  def renameNoClobber(src: String, dst: String): Unit = {
+    val f = fs(src)
+    if (!f.rename(new Path(src), new Path(dst)))
+      throw new java.io.IOException(s"rename $src -> $dst failed")
+  }
+
   /** Non-recursive file listing (names only). */
   def listFiles(dir: String): Seq[String] = {
     val p = new Path(dir)
     val f = fs(dir)
     if (!f.exists(p)) return Nil
     f.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
+  }
+
+  /** Non-recursive listing with lengths from the SAME listStatus round
+    * trip (per-file fileLength() calls re-stat each path — O(n) RPCs an
+    * object-store listing already answered). */
+  def listFilesWithLen(dir: String): Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val f = fs(dir)
+    if (!f.exists(p)) return Nil
+    f.listStatus(p).toSeq.filter(_.isFile).map(s => (s.getPath.toString, s.getLen))
   }
 }

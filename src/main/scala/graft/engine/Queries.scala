@@ -805,6 +805,9 @@ object Queries {
       t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+        // all-zero vectors have no quantization (0/0 = NaN, whose BIGINT
+        // cast differs between engines) — excluded symmetrically
+        .filter(col("scale") > 0)
         .withColumn("q", expr("transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT))"))
         .select(col("vec_id"),
           expr("CAST(floor(scale * 1000000 + 0.5) AS BIGINT)").as("scale_u"),
@@ -817,7 +820,8 @@ object Queries {
            | s AS (SELECT vec_id, v,
            |  list_max(list_transform(v, x -> abs(x))) AS scale FROM v),
            | q AS (SELECT vec_id, scale,
-           |  list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)) AS q FROM s)
+           |  list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)) AS q
+           |  FROM s WHERE scale > 0)
            |SELECT vec_id, CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_u,
            | CAST(list_sum(q) AS BIGINT) AS q_sum,
            | CAST(list_min(q) AS BIGINT) AS q_min, CAST(list_max(q) AS BIGINT) AS q_max

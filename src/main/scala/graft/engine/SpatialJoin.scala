@@ -222,11 +222,18 @@ object SpatialJoin {
       maxR: Int = 64): DataFrame = {
     val w = Cells.lonWidth(res)
     val maxLatIdx = 180L << res
+    val scale = (1L << res).toDouble
     val cellCounts = pages.groupBy("cell").agg(count(lit(1)).as("cnt"))
+    // index arithmetic mirrors GeoCols.cellId exactly (floor on the raw
+    // coordinate) — deriving idx from the cell id via double division
+    // loses integer precision once cell ids pass 2^53 (res >= 19)
     val q = queries
-      .withColumn("q_cell", graft.functions.GeoCols.cellId(col("q_lon"), col("q_lat"), res))
-      .withColumn("q_lon_idx", pmod(col("q_cell"), lit(w)))
-      .withColumn("q_lat_idx", ((col("q_cell") - pmod(col("q_cell"), lit(w))) / lit(w)).cast("long"))
+      .withColumn("q_lon_idx", floor((col("q_lon") + lit(180.0)) * lit(scale)).cast("long"))
+      .withColumn("q_lat_idx", floor((col("q_lat") + lit(90.0)) * lit(scale)).cast("long"))
+    // NO longitude wrap: the ranking metric below is plain Euclidean d2,
+    // under which points across the antimeridian are genuinely far —
+    // wrapping the candidate cells would count them as near in pass 1 and
+    // shrink the covering radius below the true k-th neighbour
     def ringCells(src: DataFrame, radius: org.apache.spark.sql.Column, carry: Seq[String]) =
       src
         .select((col("q_id") +: carry.map(col) :+
@@ -234,9 +241,10 @@ object SpatialJoin {
         .withColumn("dy", explode(sequence(-col("rr"), col("rr"))))
         .filter(col("q_lat_idx") + col("dy") >= 0 && col("q_lat_idx") + col("dy") < maxLatIdx)
         .withColumn("dx", explode(sequence(-col("rr"), col("rr"))))
+        .filter(col("q_lon_idx") + col("dx") >= 0 && col("q_lon_idx") + col("dx") < w)
         .withColumn("d", greatest(abs(col("dy")), abs(col("dx"))))
         .withColumn("cell",
-          (col("q_lat_idx") + col("dy")) * lit(w) + pmod(col("q_lon_idx") + col("dx"), lit(w)))
+          (col("q_lat_idx") + col("dy")) * lit(w) + col("q_lon_idx") + col("dx"))
     // pass 1: smallest ring with >= k candidates, from per-cell counts
     val wcum = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy("d")

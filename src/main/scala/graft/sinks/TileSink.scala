@@ -42,7 +42,9 @@ object TileSink {
     // reference timestampString: ` timestamp="<utc iso>"` (osmUtil.py:59-62)
     // via naive datetime.isoformat() — NO trailing 'Z' (and seconds always
     // present), so format explicitly instead of Instant.toString
-    val isoNoZ = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+    // Locale.ROOT: the default locale may render non-Latin digits
+    val isoNoZ = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss", java.util.Locale.ROOT)
     val tsAttr = timestamp
       .map(t => s""" timestamp="${
         java.time.LocalDateTime.ofEpochSecond(t, 0, java.time.ZoneOffset.UTC).format(isoNoZ)}"""")

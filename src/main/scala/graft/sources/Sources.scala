@@ -104,9 +104,12 @@ final class ArchiveSource(
   /** Fingerprint of the mirror's archive listing (names + sizes): a member
     * added/removed/replaced changes it, which invalidates the index. */
   private def mirrorFingerprint(): String = {
-    val entries = graft.core.Fs.listFiles(mirrorBase)
-      .filter(_.endsWith(".zip")).sorted
-      .map(p => s"${p.split('/').last}:${graft.core.Fs.fileLength(p)}")
+    // one listStatus round trip: names + sizes together (a per-file stat
+    // here would cost O(archives) RPCs on EVERY fetch's staleness check)
+    val entries = graft.core.Fs.listFilesWithLen(mirrorBase)
+      .filter(_._1.endsWith(".zip"))
+      .map { case (p, len) => s"${p.split('/').last}:$len" }
+      .sorted
     java.lang.Long.toHexString(
       entries.foldLeft(17L)((h, e) => graft.functions.SplitMix64.mix(h ^ e.hashCode.toLong)))
   }
@@ -158,6 +161,7 @@ final class ArchiveSource(
       val tmp = s"$path.${java.util.UUID.randomUUID().toString.take(8)}.tmp"
       graft.core.Fs.writeString(tmp,
         (fp +: fresh.toSeq.sorted.map { case (k, a) => s"$k\t$a" }).mkString("\n"))
+      // the index file DOES intend replace (a stale index sits at `path`)
       try graft.core.Fs.rename(tmp, path)
       catch { case _: java.io.IOException => graft.core.Fs.delete(tmp) }
       fresh
@@ -208,9 +212,13 @@ final class ArchiveSource(
               n = zin.read(buf)
             }
           } finally out.close()
-          try graft.core.Fs.rename(tmp, dst)
+          // no-clobber publish: local FS atomically replaces with identical
+          // content; HDFS-style FSes fail when a concurrent task already
+          // published — fine iff the winner's file validates. (A
+          // delete-then-rename here would transiently delete the winner's
+          // live file under a reader.)
+          try graft.core.Fs.renameNoClobber(tmp, dst)
           catch {
-            // lost the publish race: fine iff the winner's file validates
             case e: java.io.IOException =>
               graft.core.Fs.delete(tmp)
               if (!validCached(dst, resolution)) throw e
@@ -260,19 +268,22 @@ final class UriTemplateSource(
     s"$base/${template.replace("{key}", key).replace("{res}", res.toString).replace("{group}", group)}"
   }
 
-  /** Unwrap the remote payload to raw .hgt bytes on the fly. */
+  /** Unwrap the remote payload to raw .hgt bytes on the fly; never leaks
+    * the underlying stream when unwrapping fails. */
   private def open(uri: String): java.io.InputStream = {
     val raw = new java.io.BufferedInputStream(graft.core.Fs.open(uri), 1 << 16)
-    if (uri.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw, 1 << 16)
-    else if (uri.endsWith(".zip")) {
-      val zin = new java.util.zip.ZipInputStream(raw)
-      var e = zin.getNextEntry
-      while (e != null && (e.isDirectory || !e.getName.endsWith(".hgt"))) {
-        zin.closeEntry(); e = zin.getNextEntry
-      }
-      require(e != null, s"no .hgt member in $uri")
-      zin
-    } else raw
+    try {
+      if (uri.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw, 1 << 16)
+      else if (uri.endsWith(".zip")) {
+        val zin = new java.util.zip.ZipInputStream(raw)
+        var e = zin.getNextEntry
+        while (e != null && (e.isDirectory || !e.getName.endsWith(".hgt"))) {
+          zin.closeEntry(); e = zin.getNextEntry
+        }
+        if (e == null) throw new java.io.IOException(s"no .hgt member in $uri")
+        zin
+      } else raw
+    } catch { case t: Throwable => raw.close(); throw t }
   }
 
   override def fetch(cacheRoot: String, key: String, resolution: Int): Option[String] = {
@@ -289,23 +300,27 @@ final class UriTemplateSource(
       val tmp = s"$dir/.$key.${java.util.UUID.randomUUID().toString.take(8)}.tmp"
       try {
         val in = open(uri)
-        val out = graft.core.Fs.create(tmp)
         try {
-          val buf = new Array[Byte](1 << 16)
-          var n = in.read(buf)
-          while (n >= 0) {
-            if (n > 0) out.write(buf, 0, n)
-            n = in.read(buf)
-          }
-        } finally { out.close(); in.close() }
+          val out = graft.core.Fs.create(tmp)
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) {
+              if (n > 0) out.write(buf, 0, n)
+              n = in.read(buf)
+            }
+          } finally out.close()
+        } finally in.close()
         // validate BEFORE publish: a truncated transfer never enters the
         // cache (explicit size check — validCached only applies to .hgt)
         val side = 3600 / resolution + 1
         val len = graft.core.Fs.fileLength(tmp)
         if (len != 2L * side * side)
           throw new java.io.IOException(s"bad size for $key: $len")
-        try graft.core.Fs.rename(tmp, dst)
-        catch { // lost a concurrent publish race: fine iff winner validates
+        // no-clobber publish (see ArchiveSource): losing the race is fine
+        // iff the winner's file validates
+        try graft.core.Fs.renameNoClobber(tmp, dst)
+        catch {
           case e: java.io.IOException =>
             graft.core.Fs.delete(tmp)
             if (!validCached(dst, resolution)) throw e

@@ -86,6 +86,26 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(fast.toSeq == brute.toSeq)
   }
 
+  test("batch kNN near the antimeridian matches brute force (no lon wrap)") {
+    import spark.implicits._
+    // points straddling lon +/-180: under the plain-Euclidean metric the
+    // far side is genuinely ~360 deg away — candidate cells must NOT wrap
+    val res = 7
+    val pts = Seq(
+      (1L, -179.99, 10.0), (2L, -179.0, 10.0), (3L, -178.5, 10.1),
+      (4L, 179.99, 10.0), (5L, 179.5, 10.0), (6L, 178.9, 9.9),
+      (7L, -179.95, 10.05), (8L, -179.2, 9.8))
+      .toDF("page_id", "lon", "lat")
+      .withColumn("cell", graft.functions.GeoCols.cellId(col("lon"), col("lat"), res))
+    val queries = Seq((0L, -179.98, 10.0), (1L, 179.9, 10.0)).toDF("q_id", "q_lon", "q_lat")
+    val got = SpatialJoin.knnBatch(pts, queries, k = 3, res = res, maxR = 256)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val brute = SpatialJoin.knnBrute(pts,
+        Seq((0L, -179.98, 10.0), (1L, 179.9, 10.0)), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(got == brute, s"got $got vs brute $brute")
+  }
+
   test("hilbert-clustered write prunes a bbox scan >= 2x vs hash layout") {
     val tmp = java.nio.file.Files.createTempDirectory("layout").toString
     val cols = pages.select("page_id", "lon", "lat")
