@@ -1,10 +1,12 @@
 package graft.core
 
-/** Minimal GeoTIFF decoder for DEM rasters — no GDAL: strip-organized,
-  * uncompressed, 16-bit signed samples (the layout GDAL itself writes for
-  * SRTM-derived DEMs, and the layout of the reference's test fixtures).
-  * Reads the geotransform (ModelPixelScale + ModelTiepoint) and the CRS
-  * EPSG code from the GeoKey directory.
+/** Minimal GeoTIFF decoder for DEM rasters — no GDAL: 16-bit signed
+  * samples in strip OR tile layout, uncompressed / DEFLATE / TIFF-LZW,
+  * with the optional horizontal predictor — the layouts GDAL actually
+  * writes for real-world DEM products (the reference's fixtures are
+  * uncompressed strips; Copernicus/USGS distributions are tiled +
+  * DEFLATE/LZW). Reads the geotransform (ModelPixelScale +
+  * ModelTiepoint) and the CRS EPSG code from the GeoKey directory.
   *
   * Mirrors the semantics of the reference's GDAL-based loader
   * (/root/reference/pyhgtmap/hgt/file.py:500-555 init_as_geotiff,
@@ -109,11 +111,14 @@ object Tiff {
     val compression = scalar(259, 1L).toInt
     val sampleFormat = scalar(339, 1L).toInt
     val samplesPerPixel = scalar(277, 1L).toInt
-    require(compression == 1, s"unsupported TIFF compression $compression (only uncompressed)")
+    val predictor = scalar(317, 1L).toInt
+    require(compression == 1 || compression == 5 || compression == 8 || compression == 32946,
+      s"unsupported TIFF compression $compression (none/LZW/DEFLATE)")
+    require(predictor == 1 || predictor == 2,
+      s"unsupported TIFF predictor $predictor (none/horizontal)")
     require(bits == 16 && (sampleFormat == 1 || sampleFormat == 2),
       s"unsupported TIFF sample layout: $bits-bit format $sampleFormat (only int16)")
     require(samplesPerPixel == 1, s"unsupported samples/pixel $samplesPerPixel")
-    require(!tags.contains(322), "tiled TIFFs unsupported (strip layout only)")
 
     // GDAL_NODATA (parsed below, needed during the strip decode): cells at
     // the declared nodata value mask like voids even when nodata > voidMax
@@ -125,31 +130,156 @@ object Tiff {
     }
     val nodataF = nodata.map(_.toFloat)
 
-    val stripOffsets = longs(273)
-    val rowsPerStrip = scalar(278, rows.toLong).toInt
+    // segment geometry: strips (full-width bands) or tiles (tag 322-325;
+    // tiles are PADDED to tileWidth x tileLength and laid out across, then
+    // down — real-world DEM GeoTIFFs are usually tiled + compressed)
+    val tiledLayout = tags.contains(322)
+    val (segW, segH, segOffsets, segCounts, segsAcross) =
+      if (tiledLayout) {
+        val tw = scalar(322).toInt
+        val th = scalar(323).toInt
+        (tw, th, longs(324), longs(325), (cols + tw - 1) / tw)
+      } else {
+        val rps = scalar(278, rows.toLong).toInt
+        (cols, rps, longs(273), longs(279), 1)
+      }
+
+    def inflate(off: Int, len: Int, expected: Int): Array[Byte] = {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(bytes, off, len)
+      val out = new Array[Byte](expected)
+      var done = 0
+      while (!inf.finished() && done < expected) {
+        val n = inf.inflate(out, done, expected - done)
+        if (n == 0 && inf.needsInput())
+          throw new java.io.IOException("truncated DEFLATE segment")
+        done += n
+      }
+      inf.end()
+      out
+    }
+
+    /** TIFF-variant LZW: MSB-first bit packing, 9->12-bit codes with the
+      * spec's "early change" (width grows one code early), Clear=256. */
+    def lzw(off: Int, len: Int, expected: Int): Array[Byte] = {
+      val out = new Array[Byte](expected)
+      var outPos = 0
+      var bitPos = 0L
+      val bitEnd = len.toLong * 8
+      def nextCode(width: Int): Int = {
+        if (bitPos + width > bitEnd) return 257 // truncated -> treat as EOI
+        var v = 0
+        var i = 0
+        while (i < width) {
+          val b = bytes(off + (bitPos >> 3).toInt)
+          v = (v << 1) | ((b >> (7 - (bitPos & 7).toInt)) & 1)
+          bitPos += 1
+          i += 1
+        }
+        v
+      }
+      val Clear = 256
+      val Eoi = 257
+      val table = new Array[Array[Byte]](4096)
+      var tableSize = 0
+      def reset(): Unit = {
+        var i = 0
+        while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+        tableSize = 258
+      }
+      def emit(s: Array[Byte]): Unit = {
+        val n = math.min(s.length, expected - outPos)
+        System.arraycopy(s, 0, out, outPos, n)
+        outPos += n
+      }
+      reset()
+      var width = 9
+      var prev: Array[Byte] = null
+      var code = nextCode(width)
+      while (code != Eoi && outPos < expected) {
+        if (code == Clear) {
+          reset(); width = 9; prev = null
+        } else {
+          val entry =
+            if (code < tableSize && table(code) != null) table(code)
+            else {
+              require(prev != null, s"bad LZW code $code")
+              prev :+ prev(0) // the KwKwK special case
+            }
+          emit(entry)
+          if (prev != null && tableSize < 4096) {
+            table(tableSize) = prev :+ entry(0)
+            tableSize += 1
+          }
+          prev = entry
+        }
+        if (tableSize == (1 << width) - 1 && width < 12) width += 1 // early change
+        code = nextCode(width)
+      }
+      out
+    }
+
+    /** One segment as int16 samples (decompressed, predictor applied). */
+    def segShorts(s: Int, segRows: Int): Array[Short] = {
+      val expectedBytes = segRows * segW * 2
+      val off = segOffsets(s).toInt
+      val data = compression match {
+        case 1 => java.util.Arrays.copyOfRange(bytes, off, off + expectedBytes)
+        case 5 => lzw(off, segCounts(s).toInt, expectedBytes)
+        case _ => inflate(off, segCounts(s).toInt, expectedBytes)
+      }
+      val shorts = new Array[Short](segRows * segW)
+      var k = 0
+      while (k < shorts.length) {
+        val o = 2 * k
+        shorts(k) =
+          (if (le) (data(o) & 0xff) | (data(o + 1) << 8)
+           else (data(o) << 8) | (data(o + 1) & 0xff)).toShort
+        k += 1
+      }
+      if (predictor == 2) { // horizontal differencing, per segment row
+        var r = 0
+        while (r < segRows) {
+          var c = 1
+          val base = r * segW
+          while (c < segW) {
+            shorts(base + c) = (shorts(base + c) + shorts(base + c - 1)).toShort
+            c += 1
+          }
+          r += 1
+        }
+      }
+      shorts
+    }
+
     val n = rows * cols
     val values = new Array[Float](n)
     var mask: Array[Boolean] = null
-    var row = 0
     var s = 0
-    while (s < stripOffsets.length) {
-      val stripRows = math.min(rowsPerStrip, rows - row)
-      var off = stripOffsets(s).toInt
-      var k = row * cols
-      val end = k + stripRows * cols
-      while (k < end) {
-        val v =
-          (if (le) (bytes(off) & 0xff) | (bytes(off + 1) << 8)
-           else (bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort
-        values(k) = v.toFloat
-        if (v <= voidMax || nodataF.exists(_ == v.toFloat)) {
-          if (mask == null) mask = new Array[Boolean](n)
-          mask(k) = true
+    while (s < segOffsets.length) {
+      val row0 = (s / segsAcross) * segH
+      val col0 = (s % segsAcross) * segW
+      // strips shrink at the image edge; tiles stay padded to segH x segW
+      val segRows = if (tiledLayout) segH else math.min(segH, rows - row0)
+      val shorts = segShorts(s, segRows)
+      val copyRows = math.min(segRows, rows - row0)
+      val copyCols = math.min(segW, cols - col0)
+      var r = 0
+      while (r < copyRows) {
+        var k = (row0 + r) * cols + col0
+        var j = r * segW
+        var c = 0
+        while (c < copyCols) {
+          val v = shorts(j)
+          values(k) = v.toFloat
+          if (v <= voidMax || nodataF.exists(_ == v.toFloat)) {
+            if (mask == null) mask = new Array[Boolean](n)
+            mask(k) = true
+          }
+          k += 1; j += 1; c += 1
         }
-        off += 2
-        k += 1
+        r += 1
       }
-      row += stripRows
       s += 1
     }
 

@@ -85,6 +85,188 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(rows.map(_.elevation).distinct.sorted.toSeq == Seq(0, 500, 1000, 1500))
   }
 
+  // ------------------------------------------------------------------
+  // Tiled / compressed layout coverage: a minimal spec-conformant TIFF
+  // ENCODER (strips or tiles; none/DEFLATE/TIFF-LZW; horizontal
+  // predictor) re-encodes one synthetic grid into every layout GDAL
+  // commonly writes, and each variant must decode identically.
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+
+  /** TIFF-LZW encoder mirroring the decoder's exact width/table state
+    * machine (MSB-first, 9->12 bits, early change, Clear on near-full). */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var nbits = 0
+    var decT = 258; var decW = 9; var firstAfterClear = true
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << decW) | code; nbits += decW
+      while (nbits >= 8) { out.write(((bitBuf >>> (nbits - 8)) & 0xff).toInt); nbits -= 8 }
+    }
+    def widthCheck(): Unit = if (decT == (1 << decW) - 1 && decW < 12) decW += 1
+    def writeSym(code: Int): Unit = {
+      put(code)
+      if (firstAfterClear) firstAfterClear = false else decT += 1 // decoder adds an entry
+      widthCheck()
+    }
+    val dict = scala.collection.mutable.Map.empty[(Int, Byte), Int]
+    var nextCode = 258
+    def writeClear(): Unit = {
+      put(256); decT = 258; decW = 9; firstAfterClear = true
+      dict.clear(); nextCode = 258
+    }
+    writeClear()
+    var prefix = -1
+    data.foreach { b =>
+      if (prefix == -1) prefix = b & 0xff
+      else dict.get((prefix, b)) match {
+        case Some(c) => prefix = c
+        case None =>
+          writeSym(prefix)
+          dict((prefix, b)) = nextCode; nextCode += 1
+          prefix = b & 0xff
+          if (nextCode >= 4093) writeClear()
+      }
+    }
+    if (prefix != -1) writeSym(prefix)
+    put(257) // EOI
+    if (nbits > 0) out.write(((bitBuf << (8 - nbits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  private def buildTiff(rows: Int, cols: Int, vals: Array[Short],
+      compression: Int, predictor: Int, tiled: Boolean,
+      tw: Int = 64, th: Int = 48, rps: Int = 40): Array[Byte] = {
+    def encSeg(segRows: Int, segW: Int, get: (Int, Int) => Short): Array[Byte] = {
+      val s = Array.tabulate(segRows * segW)(k => get(k / segW, k % segW))
+      if (predictor == 2)
+        for (r <- 0 until segRows; c <- (segW - 1) to 1 by -1)
+          s(r * segW + c) = (s(r * segW + c) - s(r * segW + c - 1)).toShort
+      val b = new Array[Byte](s.length * 2)
+      for (k <- s.indices) {
+        b(2 * k) = (s(k) & 0xff).toByte; b(2 * k + 1) = ((s(k) >> 8) & 0xff).toByte
+      }
+      b
+    }
+    val rawSegs: Seq[Array[Byte]] =
+      if (tiled) {
+        val across = (cols + tw - 1) / tw; val down = (rows + th - 1) / th
+        (0 until down * across).map { t =>
+          val ty = t / across; val tx = t % across
+          encSeg(th, tw, (r, c) => {
+            val rr = ty * th + r; val cc = tx * tw + c
+            if (rr < rows && cc < cols) vals(rr * cols + cc) else 0
+          })
+        }
+      } else (0 until (rows + rps - 1) / rps).map { si =>
+        val r0 = si * rps
+        encSeg(math.min(rps, rows - r0), cols, (r, c) => vals((r0 + r) * cols + c))
+      }
+    val segs = rawSegs.map { raw =>
+      compression match {
+        case 1 => raw
+        case 8 => deflate(raw)
+        case 5 => lzwEncode(raw)
+      }
+    }
+    // ---- assemble little-endian TIFF ----
+    final case class Tag(id: Int, typ: Int, count: Int, inline: Long = -1L,
+        heap: Array[Byte] = null)
+    def shorts2bytes(v: Seq[Int]): Array[Byte] =
+      v.flatMap(x => Seq((x & 0xff).toByte, ((x >> 8) & 0xff).toByte)).toArray
+    def longs2bytes(v: Seq[Long]): Array[Byte] =
+      v.flatMap(x => (0 until 4).map(i => ((x >> (8 * i)) & 0xff).toByte)).toArray
+    def dbl2bytes(v: Seq[Double]): Array[Byte] =
+      v.flatMap { d => val l = java.lang.Double.doubleToLongBits(d)
+        (0 until 8).map(i => ((l >> (8 * i)) & 0xff).toByte) }.toArray
+    val geoKeys = Seq(1, 1, 0, 1, 2048, 0, 1, 4326)
+    var tags = Seq(
+      Tag(256, 4, 1, cols), Tag(257, 4, 1, rows), Tag(258, 3, 1, 16),
+      Tag(259, 3, 1, compression), Tag(277, 3, 1, 1), Tag(317, 3, 1, predictor),
+      Tag(339, 3, 1, 2),
+      Tag(33550, 12, 3, heap = dbl2bytes(Seq(1.0 / (cols - 1), 1.0 / (rows - 1), 0))),
+      Tag(33922, 12, 6, heap = dbl2bytes(Seq(0, 0, 0, 6.0, 44.0, 0))),
+      Tag(34735, 3, 8, heap = shorts2bytes(geoKeys)),
+      Tag(42113, 2, 7, heap = "-32768 ".getBytes("US-ASCII")))
+    val counts = segs.map(_.length.toLong)
+    // segment offsets depend on the heap layout: lay out tag heaps first,
+    // then the offset/count arrays, then segment payloads
+    val n = tags.size + (if (tiled) 4 else 3)
+    val heapStart = 8 + 2 + 12 * n + 4
+    var cursor = heapStart + tags.flatMap(t => Option(t.heap)).map(_.length).sum +
+      2 * 4 * segs.size // the two LONG arrays (offsets + counts)
+    val offs = segs.map { s => val o = cursor; cursor += s.length; o.toLong }
+    tags = tags ++ (if (tiled) Seq(
+      Tag(322, 4, 1, tw), Tag(323, 4, 1, th),
+      Tag(324, 4, segs.size, heap = longs2bytes(offs)),
+      Tag(325, 4, segs.size, heap = longs2bytes(counts)))
+    else Seq(
+      Tag(273, 4, segs.size, heap = longs2bytes(offs)),
+      Tag(278, 4, 1, rps),
+      Tag(279, 4, segs.size, heap = longs2bytes(counts))))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('I', 'I', 42, 0)); out.write(longs2bytes(Seq(8L)))
+    out.write(shorts2bytes(Seq(tags.size)))
+    var heapCursor = heapStart
+    val heapOut = new java.io.ByteArrayOutputStream()
+    tags.sortBy(_.id).foreach { t =>
+      out.write(shorts2bytes(Seq(t.id, t.typ)))
+      out.write(longs2bytes(Seq(t.count.toLong)))
+      val sz = (t.typ match { case 2 => 1; case 3 => 2; case 4 => 4; case 12 => 8 }) * t.count
+      if (t.heap == null) {
+        // inline: SHORT in the first 2 bytes, LONG in all 4 (little-endian)
+        if (t.typ == 3) out.write(shorts2bytes(Seq(t.inline.toInt, 0)))
+        else out.write(longs2bytes(Seq(t.inline)))
+      } else if (sz <= 4) {
+        out.write(t.heap); out.write(new Array[Byte](4 - sz))
+      } else {
+        out.write(longs2bytes(Seq(heapCursor.toLong)))
+        heapOut.write(t.heap); heapCursor += t.heap.length
+      }
+    }
+    out.write(longs2bytes(Seq(0L))) // next IFD
+    out.write(heapOut.toByteArray)
+    segs.foreach(out.write)
+    val bytes = out.toByteArray
+    assert(bytes.length == cursor, s"layout drift: ${bytes.length} vs $cursor")
+    bytes
+  }
+
+  test("tiled + compressed layouts decode identically to uncompressed strips") {
+    val rows = 141; val cols = 133
+    val vals = Array.tabulate(rows * cols) { k =>
+      if (k % 997 == 0) (-32768).toShort else ((k * 37) % 4000 - 500).toShort
+    }
+    val base = Tiff.decode(buildTiff(rows, cols, vals, compression = 1, predictor = 1, tiled = false))
+    assert(base.grid.rows == rows && base.grid.cols == cols)
+    assert(base.epsg == 4326 && base.nodata.contains(-32768.0))
+    assert(base.grid.values.zipWithIndex.forall { case (v, k) => v == vals(k).toFloat })
+    assert(base.grid.mask != null && base.grid.mask(0) && base.grid.mask(997))
+    val variants = Seq(
+      ("strip+deflate", buildTiff(rows, cols, vals, 8, 1, tiled = false)),
+      ("strip+lzw+pred2", buildTiff(rows, cols, vals, 5, 2, tiled = false, rps = 37)),
+      ("tiled+deflate", buildTiff(rows, cols, vals, 8, 1, tiled = true)),
+      ("tiled+lzw", buildTiff(rows, cols, vals, 5, 1, tiled = true, tw = 33, th = 29)),
+      ("tiled+deflate+pred2", buildTiff(rows, cols, vals, 8, 2, tiled = true, tw = 64, th = 64)),
+      ("tiled+uncompressed", buildTiff(rows, cols, vals, 1, 1, tiled = true, tw = 48, th = 31)))
+    variants.foreach { case (name, bytes) =>
+      val t = Tiff.decode(bytes)
+      assert(t.grid.rows == rows && t.grid.cols == cols, name)
+      assert(t.grid.values.sameElements(base.grid.values), s"$name: values diverge")
+      assert(t.bbox == base.bbox && t.epsg == 4326, name)
+      (0 until rows * cols).foreach { k =>
+        assert(t.grid.mask(k) == base.grid.mask(k), s"$name: mask diverges at $k")
+      }
+    }
+  }
+
   test("mercator transform round-trips") {
     val pts = Seq((6.0, 43.0), (7.0, 44.0), (-122.42, 37.77), (151.2, -33.87), (0.0, 0.0))
     pts.foreach { case (lon, lat) =>
