@@ -114,10 +114,12 @@ object Tiff {
     val predictor = scalar(317, 1L).toInt
     require(compression == 1 || compression == 5 || compression == 8 || compression == 32946,
       s"unsupported TIFF compression $compression (none/LZW/DEFLATE)")
-    require(predictor == 1 || predictor == 2,
-      s"unsupported TIFF predictor $predictor (none/horizontal)")
-    require(bits == 16 && (sampleFormat == 1 || sampleFormat == 2),
-      s"unsupported TIFF sample layout: $bits-bit format $sampleFormat (only int16)")
+    require(predictor == 1 || (predictor == 2 && bits == 16),
+      s"unsupported TIFF predictor $predictor for $bits-bit samples")
+    require(
+      (bits == 16 && (sampleFormat == 1 || sampleFormat == 2)) ||
+        (bits == 32 && sampleFormat == 3),
+      s"unsupported TIFF sample layout: $bits-bit format $sampleFormat (int16 or float32)")
     require(samplesPerPixel == 1, s"unsupported samples/pixel $samplesPerPixel")
 
     // GDAL_NODATA (parsed below, needed during the strip decode): cells at
@@ -219,37 +221,56 @@ object Tiff {
       out
     }
 
-    /** One segment as int16 samples (decompressed, predictor applied). */
-    def segShorts(s: Int, segRows: Int): Array[Short] = {
-      val expectedBytes = segRows * segW * 2
+    /** One segment as float samples (decompressed, predictor applied;
+      * int16 widened, float32 taken bit-exact). */
+    def segFloats(s: Int, segRows: Int): Array[Float] = {
+      val bps = bits / 8
+      val expectedBytes = segRows * segW * bps
       val off = segOffsets(s).toInt
       val data = compression match {
         case 1 => java.util.Arrays.copyOfRange(bytes, off, off + expectedBytes)
         case 5 => lzw(off, segCounts(s).toInt, expectedBytes)
         case _ => inflate(off, segCounts(s).toInt, expectedBytes)
       }
-      val shorts = new Array[Short](segRows * segW)
-      var k = 0
-      while (k < shorts.length) {
-        val o = 2 * k
-        shorts(k) =
-          (if (le) (data(o) & 0xff) | (data(o + 1) << 8)
-           else (data(o) << 8) | (data(o + 1) & 0xff)).toShort
-        k += 1
-      }
-      if (predictor == 2) { // horizontal differencing, per segment row
-        var r = 0
-        while (r < segRows) {
-          var c = 1
-          val base = r * segW
-          while (c < segW) {
-            shorts(base + c) = (shorts(base + c) + shorts(base + c - 1)).toShort
-            c += 1
+      val out = new Array[Float](segRows * segW)
+      if (bits == 16) {
+        val shorts = new Array[Short](out.length)
+        var k = 0
+        while (k < shorts.length) {
+          val o = 2 * k
+          shorts(k) =
+            (if (le) (data(o) & 0xff) | (data(o + 1) << 8)
+             else (data(o) << 8) | (data(o + 1) & 0xff)).toShort
+          k += 1
+        }
+        if (predictor == 2) { // horizontal differencing, per segment row
+          var r = 0
+          while (r < segRows) {
+            var c = 1
+            val base = r * segW
+            while (c < segW) {
+              shorts(base + c) = (shorts(base + c) + shorts(base + c - 1)).toShort
+              c += 1
+            }
+            r += 1
           }
-          r += 1
+        }
+        var k2 = 0
+        while (k2 < out.length) { out(k2) = shorts(k2).toFloat; k2 += 1 }
+      } else { // float32 (Copernicus-style DEMs)
+        var k = 0
+        while (k < out.length) {
+          val o = 4 * k
+          val v =
+            if (le) (data(o) & 0xff) | ((data(o + 1) & 0xff) << 8) |
+              ((data(o + 2) & 0xff) << 16) | ((data(o + 3) & 0xff) << 24)
+            else ((data(o) & 0xff) << 24) | ((data(o + 1) & 0xff) << 16) |
+              ((data(o + 2) & 0xff) << 8) | (data(o + 3) & 0xff)
+          out(k) = java.lang.Float.intBitsToFloat(v)
+          k += 1
         }
       }
-      shorts
+      out
     }
 
     val n = rows * cols
@@ -261,7 +282,7 @@ object Tiff {
       val col0 = (s % segsAcross) * segW
       // strips shrink at the image edge; tiles stay padded to segH x segW
       val segRows = if (tiledLayout) segH else math.min(segH, rows - row0)
-      val shorts = segShorts(s, segRows)
+      val floats = segFloats(s, segRows)
       val copyRows = math.min(segRows, rows - row0)
       val copyCols = math.min(segW, cols - col0)
       var r = 0
@@ -270,9 +291,9 @@ object Tiff {
         var j = r * segW
         var c = 0
         while (c < copyCols) {
-          val v = shorts(j)
-          values(k) = v.toFloat
-          if (v <= voidMax || nodataF.exists(_ == v.toFloat)) {
+          val v = floats(j)
+          values(k) = v
+          if (v <= voidMax || v.isNaN || nodataF.exists(_ == v)) {
             if (mask == null) mask = new Array[Boolean](n)
             mask(k) = true
           }

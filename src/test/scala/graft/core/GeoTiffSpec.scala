@@ -141,19 +141,29 @@ class GeoTiffSpec extends AnyFunSuite {
     out.toByteArray
   }
 
-  private def buildTiff(rows: Int, cols: Int, vals: Array[Short],
+  private def buildTiff(rows: Int, cols: Int, valsF: Array[Float],
       compression: Int, predictor: Int, tiled: Boolean,
-      tw: Int = 64, th: Int = 48, rps: Int = 40): Array[Byte] = {
-    def encSeg(segRows: Int, segW: Int, get: (Int, Int) => Short): Array[Byte] = {
-      val s = Array.tabulate(segRows * segW)(k => get(k / segW, k % segW))
-      if (predictor == 2)
-        for (r <- 0 until segRows; c <- (segW - 1) to 1 by -1)
-          s(r * segW + c) = (s(r * segW + c) - s(r * segW + c - 1)).toShort
-      val b = new Array[Byte](s.length * 2)
-      for (k <- s.indices) {
-        b(2 * k) = (s(k) & 0xff).toByte; b(2 * k + 1) = ((s(k) >> 8) & 0xff).toByte
+      tw: Int = 64, th: Int = 48, rps: Int = 40,
+      bits: Int = 16, nodataTag: String = "-32768 "): Array[Byte] = {
+    def encSeg(segRows: Int, segW: Int, get: (Int, Int) => Float): Array[Byte] = {
+      if (bits == 16) {
+        val s = Array.tabulate(segRows * segW)(k => get(k / segW, k % segW).toInt.toShort)
+        if (predictor == 2)
+          for (r <- 0 until segRows; c <- (segW - 1) to 1 by -1)
+            s(r * segW + c) = (s(r * segW + c) - s(r * segW + c - 1)).toShort
+        val b = new Array[Byte](s.length * 2)
+        for (k <- s.indices) {
+          b(2 * k) = (s(k) & 0xff).toByte; b(2 * k + 1) = ((s(k) >> 8) & 0xff).toByte
+        }
+        b
+      } else {
+        val b = new Array[Byte](segRows * segW * 4)
+        for (k <- 0 until segRows * segW) {
+          val v = java.lang.Float.floatToRawIntBits(get(k / segW, k % segW))
+          for (i <- 0 until 4) b(4 * k + i) = ((v >> (8 * i)) & 0xff).toByte
+        }
+        b
       }
-      b
     }
     val rawSegs: Seq[Array[Byte]] =
       if (tiled) {
@@ -162,12 +172,12 @@ class GeoTiffSpec extends AnyFunSuite {
           val ty = t / across; val tx = t % across
           encSeg(th, tw, (r, c) => {
             val rr = ty * th + r; val cc = tx * tw + c
-            if (rr < rows && cc < cols) vals(rr * cols + cc) else 0
+            if (rr < rows && cc < cols) valsF(rr * cols + cc) else 0f
           })
         }
       } else (0 until (rows + rps - 1) / rps).map { si =>
         val r0 = si * rps
-        encSeg(math.min(rps, rows - r0), cols, (r, c) => vals((r0 + r) * cols + c))
+        encSeg(math.min(rps, rows - r0), cols, (r, c) => valsF((r0 + r) * cols + c))
       }
     val segs = rawSegs.map { raw =>
       compression match {
@@ -188,13 +198,13 @@ class GeoTiffSpec extends AnyFunSuite {
         (0 until 8).map(i => ((l >> (8 * i)) & 0xff).toByte) }.toArray
     val geoKeys = Seq(1, 1, 0, 1, 2048, 0, 1, 4326)
     var tags = Seq(
-      Tag(256, 4, 1, cols), Tag(257, 4, 1, rows), Tag(258, 3, 1, 16),
+      Tag(256, 4, 1, cols), Tag(257, 4, 1, rows), Tag(258, 3, 1, bits),
       Tag(259, 3, 1, compression), Tag(277, 3, 1, 1), Tag(317, 3, 1, predictor),
-      Tag(339, 3, 1, 2),
+      Tag(339, 3, 1, if (bits == 16) 2 else 3),
       Tag(33550, 12, 3, heap = dbl2bytes(Seq(1.0 / (cols - 1), 1.0 / (rows - 1), 0))),
       Tag(33922, 12, 6, heap = dbl2bytes(Seq(0, 0, 0, 6.0, 44.0, 0))),
       Tag(34735, 3, 8, heap = shorts2bytes(geoKeys)),
-      Tag(42113, 2, 7, heap = "-32768 ".getBytes("US-ASCII")))
+      Tag(42113, 2, nodataTag.length, heap = nodataTag.getBytes("US-ASCII")))
     val counts = segs.map(_.length.toLong)
     // segment offsets depend on the heap layout: lay out tag heaps first,
     // then the offset/count arrays, then segment payloads
@@ -242,7 +252,7 @@ class GeoTiffSpec extends AnyFunSuite {
   test("tiled + compressed layouts decode identically to uncompressed strips") {
     val rows = 141; val cols = 133
     val vals = Array.tabulate(rows * cols) { k =>
-      if (k % 997 == 0) (-32768).toShort else ((k * 37) % 4000 - 500).toShort
+      if (k % 997 == 0) -32768f else ((k * 37) % 4000 - 500).toFloat
     }
     val base = Tiff.decode(buildTiff(rows, cols, vals, compression = 1, predictor = 1, tiled = false))
     assert(base.grid.rows == rows && base.grid.cols == cols)
@@ -263,6 +273,33 @@ class GeoTiffSpec extends AnyFunSuite {
       assert(t.bbox == base.bbox && t.epsg == 4326, name)
       (0 until rows * cols).foreach { k =>
         assert(t.grid.mask(k) == base.grid.mask(k), s"$name: mask diverges at $k")
+      }
+    }
+  }
+
+  test("float32 samples (Copernicus-style DEM) decode bit-exact, NaN/nodata masked") {
+    val rows = 83; val cols = 97
+    val vals = Array.tabulate(rows * cols) { k =>
+      if (k % 701 == 0) -9999f
+      else if (k % 1303 == 7) Float.NaN
+      else ((k * 13) % 3000) / 8f - 50f // fractional elevations
+    }
+    Seq(
+      ("f32 strips uncompressed", buildTiff(rows, cols, vals, 1, 1, tiled = false,
+        bits = 32, nodataTag = "-9999 ")),
+      ("f32 tiled deflate", buildTiff(rows, cols, vals, 8, 1, tiled = true,
+        tw = 32, th = 32, bits = 32, nodataTag = "-9999 ")),
+      ("f32 strips lzw", buildTiff(rows, cols, vals, 5, 1, tiled = false,
+        rps = 19, bits = 32, nodataTag = "-9999 "))
+    ).foreach { case (name, bytes) =>
+      val t = Tiff.decode(bytes)
+      assert(t.nodata.contains(-9999.0), name)
+      (0 until rows * cols).foreach { k =>
+        val expectNaN = java.lang.Float.isNaN(vals(k))
+        if (expectNaN) assert(t.grid.values(k).isNaN, s"$name @$k")
+        else assert(t.grid.values(k) == vals(k), s"$name @$k")
+        val expectMasked = expectNaN || vals(k) == -9999f
+        assert(t.grid.mask(k) == expectMasked, s"$name mask @$k")
       }
     }
   }
