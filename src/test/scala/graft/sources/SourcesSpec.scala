@@ -195,6 +195,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(arch3.fetch(cacheRoot, "N43E006", 3).contains(cached))
   }
 
+  test("rewriteIndices force-rebuilds a corrupt persisted catalogue") {
+    val mirror = java.nio.file.Files.createTempDirectory("mirror3").toString
+    val cacheRoot = java.nio.file.Files.createTempDirectory("archcache3").toString
+    val scratch = java.nio.file.Files.createTempDirectory("scratch3").toString
+    val syn = new SynthSource
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$mirror/N040E005.zip"))
+    zos.putNextEntry(new java.util.zip.ZipEntry("N43E006.hgt"))
+    zos.write(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(syn.fetch(scratch, "N43E006", 3).get)))
+    zos.closeEntry(); zos.close()
+    val arch = new ArchiveSource(mirror)
+    arch.index(cacheRoot, 3) // persist
+    val idxFile = java.nio.file.Paths.get(s"$cacheRoot/ARCH3/.index")
+    java.nio.file.Files.writeString(idxFile, "garbage")
+    arch.refreshIndex(cacheRoot, 3) // the --rewrite-indices unit
+    val rewritten = java.nio.file.Files.readString(idxFile)
+    assert(rewritten.contains("N43E006\t"), rewritten)
+    assert(arch.index(cacheRoot, 3).contains("N43E006"))
+  }
+
   test("driver-registered plugin sources ship to executors by value") {
     // a source that exists ONLY in the driver's registry: fetchAll must
     // resolve it on the driver and serialize the instance into the closure
