@@ -78,6 +78,11 @@ object PipelineCli {
     var downloadOnly = false
     var rewriteIndices = false
     var logLevel = "WARN"
+    // reference default-source knobs (cli.py:295-358, 490-517): when no
+    // explicit --source/--data-source and no input files are given, the
+    // preference list is derived as [view{mask}?, srtm{res}]
+    var srtmRes = 3
+    var viewMask = 0
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -104,11 +109,13 @@ object PipelineCli {
         case "--write-timestamp" => // epoch seconds (deterministic, injectable)
           cfg = cfg.copy(writeTimestamp = Some(args(i + 1).toLong)); i += 2
         case "--smooth" => cfg = cfg.copy(smoothRatio = args(i + 1).toDouble); i += 2
-        case "--no-zero" => cfg = cfg.copy(noZero = true); i += 1 // ref --no-zero-contour
+        case "--no-zero" | "--no-zero-contour" => // reference spelling accepted
+          cfg = cfg.copy(noZero = true); i += 1
         case "--min-cont" => cfg = cfg.copy(minCont = Some(args(i + 1).toInt)); i += 2
         case "--max-cont" => cfg = cfg.copy(maxCont = Some(args(i + 1).toInt)); i += 2
         case "--feet" => cfg = cfg.copy(feetSteps = true); i += 1
-        case "--void-max" => cfg = cfg.copy(voidMax = args(i + 1).toInt); i += 2
+        case "--void-max" | "--void-range-max" => // reference spelling accepted
+          cfg = cfg.copy(voidMax = args(i + 1).toInt); i += 2
         case "--corrx" => cfg = cfg.copy(corrx = args(i + 1).toDouble); i += 2
         case "--corry" => cfg = cfg.copy(corry = args(i + 1).toDouble); i += 2
         case "--start-node-id" => cfg = cfg.copy(startNodeId = args(i + 1).toLong); i += 2
@@ -116,13 +123,42 @@ object PipelineCli {
         case "--line-cat" => // ref --line-cat MAJOR,MEDIUM
           val Array(maj, med) = args(i + 1).split(',').map(_.toInt)
           cfg = cfg.copy(lineCatsMajor = maj, lineCatsMedium = med); i += 2
-        case "--source" => sourcePrefs = args(i + 1).split(',').toSeq; i += 2
-        case "--poly" => polyFile = Some(args(i + 1)); i += 2
-        case "--cache" => cacheRoot = args(i + 1); i += 2
+        case "--source" | "--data-source" => // reference alias (cli.py:362)
+          sourcePrefs = args(i + 1).split(',').toSeq; i += 2
+        case "--poly" | "--polygon" => // reference alias; --area ignored below
+          polyFile = Some(args(i + 1)); i += 2
+        case "--cache" | "--hgtdir" => cacheRoot = args(i + 1); i += 2 // ref cli.py:400
+        case "--jobs" => cores = args(i + 1); i += 2 // reference parallelism knob (cli.py:145)
+        case "--srtm" => // reference SRTM resolution choice (cli.py:295)
+          srtmRes = args(i + 1).toInt
+          if (srtmRes != 1 && srtmRes != 3) {
+            System.err.println("The --srtm option can only take '1' or '3' as values.  Defaulting to 3.")
+            srtmRes = 3
+          }
+          i += 2
+        case "--viewfinder-mask" => // reference viewfinder preference (cli.py:350)
+          viewMask = args(i + 1).toInt
+          if (viewMask != 1 && viewMask != 3) {
+            System.err.println("The --viewfinder-mask option can only take '1' or '3' as values.  Won't use viewfinder data.")
+            viewMask = 0
+          }
+          i += 2
+        case "--srtm-version" => // reference dataset-version pick (cli.py:307); the
+          // mirror template decides the actual dataset here, so only validate
+          val v = args(i + 1).toDouble
+          require(v == 2.1 || v == 3.0, s"unsupported SRTM version $v (want 2.1 or 3)")
+          i += 2
         case f if !f.startsWith("--") => files += f; i += 1
         case other => System.err.println(s"unknown option: $other"); sys.exit(2)
       }
     }
+    // reference default-source derivation (cli.py:511-517): no explicit
+    // --source/--data-source and no input files -> [view{mask}?, srtm{res}]
+    if (sourcePrefs.isEmpty && files.isEmpty)
+      sourcePrefs = (if (viewMask != 0) Seq(s"view$viewMask") else Nil) :+ s"srtm$srtmRes"
+    // reference --polygon contract (cli.py:68-72): "a bounding box passed to
+    // the --area option will be ignored" when a polygon file is given
+    if (polyFile.isDefined) cfg = cfg.copy(area = None)
     CliOptions(cfg, files.toSeq, cores, format, sourcePrefs, polyFile, cacheRoot,
       downloadOnly, rewriteIndices, logLevel)
   }

@@ -54,6 +54,32 @@ class PipelineCliSpec extends AnyFunSuite {
     assert(n == "alps_lon6.00_7.00lat43.00_44.00_N43E006.osm.pbf")
   }
 
+  test("reference-exact aliases and default-source derivation (cli.py:295-517)") {
+    // exact reference spellings map onto the same options
+    val o = PipelineCli.parseOptions(Seq(
+      "--no-zero-contour", "--void-range-max", "-500", "--hgtdir", "/tmp/hgt",
+      "--jobs", "6", "--polygon", "fr.poly", "--area", "6:43:7:44", "a.hgt"))
+    assert(o.cfg.noZero && o.cfg.voidMax == -500)
+    assert(o.cacheRoot == "/tmp/hgt" && o.cores == "6")
+    assert(o.polyFile.contains("fr.poly"))
+    // reference --polygon contract: --area is ignored when a polygon is given
+    assert(o.cfg.area.isEmpty)
+    // --data-source is --source
+    val ds = PipelineCli.parseOptions(Seq("--data-source", "view3,srtm1", "--area", "6:43:7:44"))
+    assert(ds.sourcePrefs == Seq("view3", "srtm1"))
+    // no files + no explicit source: prefs derive from --srtm/--viewfinder-mask
+    val d1 = PipelineCli.parseOptions(Seq("--area", "6:43:7:44"))
+    assert(d1.sourcePrefs == Seq("srtm3"))
+    val d2 = PipelineCli.parseOptions(Seq("--srtm", "1", "--viewfinder-mask", "3", "--area", "6:43:7:44"))
+    assert(d2.sourcePrefs == Seq("view3", "srtm1"))
+    // invalid values fall back like the reference (warn, not die)
+    val d3 = PipelineCli.parseOptions(Seq("--srtm", "2", "--viewfinder-mask", "5"))
+    assert(d3.sourcePrefs == Seq("srtm3"))
+    // input files given: no download source derived (cli.py:518-520)
+    val d4 = PipelineCli.parseOptions(Seq("--srtm", "1", "b.hgt"))
+    assert(d4.sourcePrefs.isEmpty)
+  }
+
   test("no config file: argv parses unchanged; missing --config fails loudly") {
     val opts = PipelineCli.parseOptions(
       PipelineCli.expandConfig(Seq("--step", "40", "c.hgt")))
