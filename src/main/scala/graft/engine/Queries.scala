@@ -186,6 +186,70 @@ object Queries {
            | ON d.elev >= b.lo AND d.elev <= b.hi
            | GROUP BY band ORDER BY band""".stripMargin))
 
+  /** DuckDB twin of core/S2.cellId over the doc lattice: the projection
+    * chain (radians -> xyz -> face -> uv -> quadratic st -> ij) as CTEs,
+    * then the Hilbert walk UNROLLED one CTE pair per level (no recursion),
+    * with the lookup tables as CASE maps of `orientation*4 + ij2bits`.
+    * Every non-trig step is IEEE-exact cross-engine; the trig steps can
+    * drift by ulps, which S2Spec's gate-margin guard proves cannot move a
+    * lattice point across a level-11 cell wall. The face term overflows
+    * BIGINT for faces 4/5 (sign bit); the doc tile provably projects onto
+    * face 0 (same guard), so the oracle stays in signed range. */
+  private def s2CellsOracleSql(level: Int): String = {
+    val rad = "/180.0*pi()"
+    val proj =
+      s"""p0 AS (SELECT doc_id, n_chars, ${GeoCols.docLonSql} AS lon, ${GeoCols.docLatSql} AS lat FROM documents),
+         |p1 AS (SELECT *, cos(lat$rad)*cos(lon$rad) AS x, cos(lat$rad)*sin(lon$rad) AS y, sin(lat$rad) AS z FROM p0),
+         |p2 AS (SELECT *, CASE WHEN abs(x) > abs(y) THEN (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
+         |                      ELSE (CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END) END AS axis FROM p1),
+         |p3 AS (SELECT *, CASE WHEN axis = 0 THEN (CASE WHEN x < 0 THEN 3 ELSE 0 END)
+         |                      WHEN axis = 1 THEN (CASE WHEN y < 0 THEN 4 ELSE 1 END)
+         |                      ELSE (CASE WHEN z < 0 THEN 5 ELSE 2 END) END AS face FROM p2),
+         |p4 AS (SELECT *, CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+         |                           WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+         |                 CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+         |                           WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v FROM p3),
+         |p5 AS (SELECT *, CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END AS s,
+         |                 CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v) ELSE 1-0.5*sqrt(1-3*v) END AS t FROM p4),
+         |c0 AS (SELECT doc_id, n_chars, face,
+         |        greatest(0, least(1073741823, CAST(floor(s*1073741824.0) AS BIGINT))) AS i,
+         |        greatest(0, least(1073741823, CAST(floor(t*1073741824.0) AS BIGINT))) AS j,
+         |        CAST(0 AS BIGINT) AS pos, CAST(face & 1 AS BIGINT) AS orient FROM p5)""".stripMargin
+    // IJtoPos flattened as CASE over orientation*4 + (i_bit<<1 | j_bit);
+    // PosToOrientation = [1,0,0,3] as the orient-update CASE
+    val ijToPosCase = (for (r <- 0 to 3; ij <- 0 to 3)
+      yield s"WHEN ${r * 4 + ij} THEN ${graft.core.S2.ijToPosTable(r)(ij)}").mkString(" ")
+    val steps = (1 to level).map { step =>
+      val k = 30 - step
+      val prev = s"c${step - 1}"
+      s"""s$step AS (SELECT *, CASE orient*4 + (((i >> $k) & 1)*2 + ((j >> $k) & 1)) $ijToPosCase END AS p FROM $prev),
+         |c$step AS (SELECT doc_id, n_chars, face, i, j, pos*4 + p AS pos,
+         |            xor(orient, CASE p WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END) AS orient FROM s$step)""".stripMargin
+    }
+    val shift = 2 * (30 - level)
+    s"""WITH $proj,
+       |${steps.mkString(",\n")}
+       |SELECT face * 2305843009213693952 + pos * ${1L << (shift + 1)} + ${1L << shift} AS cell,
+       | count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+       |FROM c$level GROUP BY 1 ORDER BY cell""".stripMargin
+  }
+
+  private val qS2Cells = Q(
+    "q16_s2_cells",
+    (s, dir) => {
+      // the S2-scheme sphere index (core/S2.scala) as a codegen'd
+      // expression: one narrow projection + a hash agg on a long key —
+      // identical plan shape to q10's flat-grid cells, but the key is
+      // hierarchical (parent = bit mask) and locality-preserving
+      graft.functions.S2CellIdExpr.register(s, "s2_cell_11", 11)
+      withDocCoords(t(s, dir, "documents"))
+        .withColumn("cell", call_function("s2_cell_11", col("lon"), col("lat")))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy("cell")
+    },
+    Some(s2CellsOracleSql(11)))
+
   // --------------------------------------------------------------- text ---
 
   private val qDedupExact = Q(
@@ -1166,7 +1230,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     qPricing, qNationRevenue, qTopOrders, qRollup, qSessions, qEventHours,
     qBrandRevenue, qRegionSupplier,
-    qGeoCell, qGeoPip, qGeoKnn, qGeoKnnBatch, qGeoTiles, qGeoBands,
+    qGeoCell, qGeoPip, qGeoKnn, qGeoKnnBatch, qGeoTiles, qGeoBands, qS2Cells,
     qDedupExact, qMinhash, qNearDup, qSimhash, qSimhashNearDup, qTextStats, qNgrams,
     qJaccard, qFingerprint, qQuality, qSubwords, qBandedLsh, qMultimodal, qLangId,
     qRoundtrip, qStreamHourly, qStreamSessions, qStreamDedup,

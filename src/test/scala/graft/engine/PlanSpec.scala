@@ -136,6 +136,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q16 s2-cell agg is a single narrow projection + hash agg, no join") {
+    val q = Queries.all.find(_.name == "q16_s2_cells").get
+    val df = q.impl(spark, dir)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("s2_cell_11"), p) // the codegen'd index expression
+    assert(p.contains("partial_count") || p.contains("partial_avg"), p) // map-side combine
+  }
+
+  test("s2_cell codegen matches interpreted eval") {
+    import spark.implicits._
+    graft.functions.S2CellIdExpr.register(spark, "s2_cell_t", 13)
+    def run(): Seq[Long] = spark.range(0, 500)
+      .selectExpr("s2_cell_t(CAST(id AS DOUBLE) * 0.7 - 175.0, CAST(id AS DOUBLE) * 0.33 - 82.0) AS c")
+      .as[Long].collect().toSeq
+    val c1 = run()
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(c1 == run())
+    finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    // and both equal the plain-Scala kernel
+    val expect = (0 until 500).map(i => graft.core.S2.cellId(i * 0.7 - 175.0, i * 0.33 - 82.0, 13))
+    assert(c1 == expect)
+  }
+
   test("pip/shingle/wrap codegen matches interpreted eval") {
     import spark.implicits._
     // force both paths: default (codegen) vs spark.sql.codegen.factoryMode
