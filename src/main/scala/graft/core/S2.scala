@@ -177,4 +177,93 @@ object S2 {
   def fromToken(tok: String): Long =
     if (tok == "X") 0L
     else java.lang.Long.parseUnsignedLong(tok.padTo(16, '0'), 16)
+
+  // ------------------------------------------------------------ covering --
+
+  /** Exact lat/lon bounding box of a uv-rect on face `f`, as
+    * (latMin, latMax, lonLo, lonHi, fullLon). Extremes of lat/lon over an
+    * axis-aligned uv rect are attained at its corners or at the u=0 / v=0
+    * crossings (lat is monotone in each uv quadrant; lon is monotone along
+    * every edge), so evaluating those candidate points gives the exact
+    * bound; a polar-face rect containing the face centre reaches the pole
+    * and spans all longitudes. `lonLo..lonHi` is a circular interval
+    * (lonLo > lonHi means it wraps the antimeridian). */
+  private[core] def uvRectBound(
+      f: Int, u0: Double, u1: Double, v0: Double, v1: Double): (Double, Double, Double, Double, Boolean) = {
+    val pts = scala.collection.mutable.ArrayBuffer(
+      (u0, v0), (u0, v1), (u1, v0), (u1, v1))
+    val uCross = u0 < 0 && u1 > 0
+    val vCross = v0 < 0 && v1 > 0
+    if (uCross) { pts += ((0.0, v0)); pts += ((0.0, v1)) }
+    if (vCross) { pts += ((u0, 0.0)); pts += ((u1, 0.0)) }
+    val ll = pts.map { case (u, v) =>
+      val (x, y, z) = faceUvToXyz(f, u, v)
+      (math.atan2(z, math.hypot(x, y)) * 180.0 / math.Pi,
+        math.atan2(y, x) * 180.0 / math.Pi)
+    }
+    var latMin = ll.map(_._1).min
+    var latMax = ll.map(_._1).max
+    // polar-face rect containing the face centre: includes the pole
+    val atPole = uCross && vCross && (f == 2 || f == 5)
+    if (atPole) { if (f == 2) latMax = 90.0 else latMin = -90.0 }
+    val fullLon = atPole
+    if (fullLon) (latMin, latMax, -180.0, 180.0, true)
+    else {
+      // circular hull of the corner longitudes: the rect's (x,y) shadow is
+      // convex and excludes the origin, so its angular span is < 180 deg —
+      // map angles into a half-circle around the first and take min/max
+      val lons = ll.map(_._2)
+      val ref = lons.head
+      val rel = lons.map { l =>
+        var d = l - ref
+        while (d > 180) d -= 360
+        while (d < -180) d += 360
+        d
+      }
+      var lo = ref + rel.min
+      var hi = ref + rel.max
+      if (lo < -180) lo += 360
+      if (hi > 180) hi -= 360
+      (latMin, latMax, lo, hi, false)
+    }
+  }
+
+  private def lonIntervalsOverlap(aLo: Double, aHi: Double, bLo: Double, bHi: Double): Boolean = {
+    // circular intervals (lo > hi wraps)
+    def contains(lo: Double, hi: Double, x: Double) =
+      if (lo <= hi) x >= lo && x <= hi else x >= lo || x <= hi
+    contains(aLo, aHi, bLo) || contains(aLo, aHi, bHi) ||
+      contains(bLo, bHi, aLo) || contains(bLo, bHi, aHi)
+  }
+
+  /** Cells at `level` covering a lat/lon rectangle — superset-guaranteed:
+    * every point of the rect lies in some returned cell (the covering may
+    * spill over the rect's edges; callers re-filter exactly). Works on any
+    * face mix, including the poles and rects touching the antimeridian
+    * seam from the west side. The returned ids are the range-pruning
+    * handles: a table clustered by leaf cell id serves the rect from
+    * `cell BETWEEN rangeMin(c) AND rangeMax(c)` per cover cell. */
+  def coverRect(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double, level: Int): Seq[Long] = {
+    require(level >= 0 && level <= MaxLevel)
+    val eps = 1e-9 // fp guard: pad the query so boundary points stay covered
+    val qLat0 = minLat - eps; val qLat1 = maxLat + eps
+    val qLon0 = minLon - eps; val qLon1 = maxLon + eps
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def descend(f: Int, lvl: Int, i: Int, j: Int): Unit = {
+      val size = 1 << (MaxLevel - lvl)
+      val u0 = uvFromSt(i.toDouble / MaxSize)
+      val u1 = uvFromSt((i + size).toDouble / MaxSize)
+      val v0 = uvFromSt(j.toDouble / MaxSize)
+      val v1 = uvFromSt((j + size).toDouble / MaxSize)
+      val (latMin, latMax, lonLo, lonHi, _) = uvRectBound(f, u0, u1, v0, v1)
+      if (latMax + eps < qLat0 || latMin - eps > qLat1) return
+      if (!lonIntervalsOverlap(lonLo - eps, lonHi + eps, qLon0, qLon1)) return
+      if (lvl == level) { out += fromFaceIJ(f, i, j, level); return }
+      val h = size >> 1
+      descend(f, lvl + 1, i, j); descend(f, lvl + 1, i + h, j)
+      descend(f, lvl + 1, i, j + h); descend(f, lvl + 1, i + h, j + h)
+    }
+    (0 to 5).foreach(f => descend(f, 0, 0, 0))
+    out.toSeq
+  }
 }

@@ -130,6 +130,38 @@ object SpatialJoin {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** S2-clustered parquet write: like writeClustered but keyed by the S2
+    * leaf cell id, which is KEPT as a column (`s2`) — unlike the Hilbert
+    * variant, a lat/lon rectangle maps to a handful of CONTIGUOUS id
+    * ranges (one per cover cell, S2.coverRect), so a bbox scan becomes a
+    * pushed-down `s2 BETWEEN lo AND hi OR ...` predicate that parquet
+    * row-group stats answer without decoding — file pruning AND row-group
+    * pruning from the same sorted long column. */
+  def writeClusteredS2(
+      df: DataFrame,
+      path: String,
+      lonCol: String,
+      latCol: String,
+      partitions: Int): Unit = {
+    graft.functions.S2CellIdExpr.register(df.sparkSession, "s2_leaf", 30)
+    df.withColumn("s2", call_function("s2_leaf", col(lonCol), col(latCol)))
+      .repartitionByRange(partitions, col("s2"))
+      .sortWithinPartitions("s2")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Pushdown predicate for a bbox scan of an S2-clustered table: the
+    * disjunction of the cover cells' leaf-id ranges. Callers AND an exact
+    * lon/lat re-filter after it (the covering is a superset). */
+  def s2RangePredicate(
+      minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
+      level: Int, cellCol: String = "s2"): org.apache.spark.sql.Column = {
+    val cells = graft.core.S2.coverRect(minLon, minLat, maxLon, maxLat, level)
+    require(cells.nonEmpty)
+    cells.map(c => col(cellCol).between(
+      graft.core.S2.rangeMin(c), graft.core.S2.rangeMax(c))).reduce(_ || _)
+  }
+
   /** Exact kNN via k-ring candidate join with provable termination:
     * a result set for query q is final when it holds >= k candidates whose
     * k-th distance <= ring guarantee (ring * cellSize in degrees). Rings

@@ -118,6 +118,38 @@ class S2Spec extends AnyFunSuite {
     assert(f == 0 && i == (1 << 29) && j == (1 << 29))
   }
 
+  test("coverRect is a superset covering on every face geometry") {
+    val rects = Seq(
+      (6.0, 43.0, 7.0, 44.0),      // the doc tile (face 0 interior)
+      (-1.0, -1.0, 1.0, 1.0),      // around (0,0): u/v crossings
+      (40.0, 10.0, 50.0, 20.0),    // straddles the face 0|1 seam at 45 deg
+      (170.0, 10.0, 179.9, 20.0),  // approaches the antimeridian from the west
+      (-179.9, -20.0, -170.0, -10.0),
+      (-180.0, 85.0, 180.0, 90.0), // polar cap: all longitudes
+      (10.0, -90.0, 20.0, -85.0))  // south polar wedge
+    for ((lo0, la0, lo1, la1) <- rects; level <- Seq(4, 8)) {
+      val cover = S2.coverRect(lo0, la0, lo1, la1, level).toSet
+      assert(cover.nonEmpty)
+      cover.foreach(c => assert(S2.level(c) == level))
+      for (s <- 0 until 400) {
+        val lon = lo0 + (lo1 - lo0) * ((s * 2654435761L % 1000L) / 999.0)
+        val lat = la0 + (la1 - la0) * ((s * 40503L % 1000L) / 999.0)
+        val cell = S2.cellId(lon, lat, level)
+        assert(cover.contains(cell), s"rect ($lo0,$la0,$lo1,$la1) level $level point ($lon,$lat)")
+      }
+    }
+  }
+
+  test("coverRect stays tight on an interior rect") {
+    // 1x1 deg at level 8 (cell ~0.35 deg): the cover must be a local
+    // neighbourhood, not a face dump
+    val cover = S2.coverRect(6.0, 43.0, 7.0, 44.0, 8)
+    assert(cover.size <= 64, s"cover size ${cover.size}")
+    // and the ranges are usable pruning handles: disjoint, sorted-mergeable
+    val ranges = cover.map(c => (S2.rangeMin(c), S2.rangeMax(c))).sortBy(_._1)
+    ranges.sliding(2).foreach { case Seq(a, b) => assert(a._2 < b._1) case _ => }
+  }
+
   test("gate-margin guard: doc-lattice points sit far from level-11 cell walls") {
     // q16's oracle recomputes the trig pipeline in DuckDB; cross-engine
     // sin/cos may differ by ulps. A gate flip would need a point within

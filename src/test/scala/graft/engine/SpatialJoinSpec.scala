@@ -138,6 +138,43 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("s2-clustered write serves a bbox from contiguous id ranges with file pruning") {
+    val tmp = java.nio.file.Files.createTempDirectory("s2layout").toString
+    val cols = pages.select("page_id", "lon", "lat")
+    val hashPath = s"$tmp/hash"
+    val s2Path = s"$tmp/s2"
+    cols.repartition(16, col("page_id")).write.mode("overwrite").parquet(hashPath)
+    SpatialJoin.writeClusteredS2(cols, s2Path, "lon", "lat", partitions = 16)
+    val (lo0, la0, lo1, la1) = (6.40, 43.40, 6.60, 43.60)
+    val pred = SpatialJoin.s2RangePredicate(lo0, la0, lo1, la1, level = 10)
+    // file pruning on the stored s2 column's min/max stats
+    def s2Candidates(dir: String): Int = {
+      val ranges = graft.core.S2.coverRect(lo0, la0, lo1, la1, 10)
+        .map(c => (graft.core.S2.rangeMin(c), graft.core.S2.rangeMax(c)))
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).count { f =>
+        val st = spark.read.parquet(f.toString).agg(min("s2"), max("s2")).collect()(0)
+        !st.isNullAt(0) && ranges.exists { case (lo, hi) =>
+          !(st.getLong(1) < lo || st.getLong(0) > hi) }
+      }
+    }
+    val nTouched = s2Candidates(s2Path)
+    val nTotal = new java.io.File(s2Path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nTouched >= 1 && nTotal >= 2 * nTouched, s"touched=$nTouched of $nTotal")
+    // range predicate + exact refilter == plain bbox scan of the hash layout
+    val viaS2 = spark.read.parquet(s2Path)
+      .filter(pred) // the pushed-down pruning disjunction
+      .filter(col("lon").between(lo0, lo1) && col("lat").between(la0, la1))
+      .select("page_id").collect().map(_.getLong(0)).sorted.toSeq
+    val plain = spark.read.parquet(hashPath)
+      .filter(col("lon").between(lo0, lo1) && col("lat").between(la0, la1))
+      .select("page_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaS2 == plain && viaS2.nonEmpty)
+    // and the range disjunction reaches the parquet scan as pushed filters
+    val p = spark.read.parquet(s2Path).filter(pred)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("s2"), p)
+  }
+
   test("batch-table kNN equals brute force on a query TABLE") {
     import spark.implicits._
     // query side is a table: 60 pages themselves plus off-lattice points
