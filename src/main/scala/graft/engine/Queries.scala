@@ -186,6 +186,32 @@ object Queries {
            | ON d.elev >= b.lo AND d.elev <= b.hi
            | GROUP BY band ORDER BY band""".stripMargin))
 
+  private val qAsof = Q(
+    "q17_asof_join",
+    (s, dir) => {
+      // as-of join (engine/AsOf.scala): latest prior 'view' per 'purchase'
+      // by the same user — one union + one keyed window pass, NO join node
+      // and no range explosion; the oracle is DuckDB's native ASOF JOIN.
+      // Output is ts-derived only: tied (user, ts) view rows are resolved
+      // arbitrarily by DuckDB, identically by timestamp either way.
+      val ev = t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts")
+      AsOf.join(purchases, views, "user_id", "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("asof_ts")).as("view_us"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, p.user_id, epoch_us(v.ts) AS view_us,
+           | epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+           | FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           | ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           | ON p.user_id = v.user_id AND v.ts <= p.ts
+           | ORDER BY p.event_id""".stripMargin))
+
   /** DuckDB twin of core/S2.cellId over the doc lattice: the projection
     * chain (radians -> xyz -> face -> uv -> quadratic st -> ij) as CTEs,
     * then the Hilbert walk UNROLLED one CTE pair per level (no recursion),
@@ -750,6 +776,17 @@ object Queries {
     Some("""SELECT lang, count(DISTINCT text) AS n_unique
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
+  private val qStreamAttribution = Q(
+    "q44_stream_interval_join",
+    (s, dir) => Streaming.purchaseAttribution(s, s"$dir/events.parquet"),
+    Some("""SELECT p.event_id AS p_id, p.user_id, epoch_us(v.ts) AS view_us,
+           | epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+           |FROM events p JOIN events v
+           | ON p.user_id = v.user_id
+           | AND p.event_type = 'purchase' AND v.event_type = 'view'
+           | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+           |ORDER BY p_id, view_us""".stripMargin))
+
   // --------------------------------------------------------------- embeddings ---
 
   private def embDims(s: SparkSession, dir: String): DataFrame =
@@ -1230,10 +1267,10 @@ object Queries {
   val all: Seq[Q] = Seq(
     qPricing, qNationRevenue, qTopOrders, qRollup, qSessions, qEventHours,
     qBrandRevenue, qRegionSupplier,
-    qGeoCell, qGeoPip, qGeoKnn, qGeoKnnBatch, qGeoTiles, qGeoBands, qS2Cells,
+    qGeoCell, qGeoPip, qGeoKnn, qGeoKnnBatch, qGeoTiles, qGeoBands, qS2Cells, qAsof,
     qDedupExact, qMinhash, qNearDup, qSimhash, qSimhashNearDup, qTextStats, qNgrams,
     qJaccard, qFingerprint, qQuality, qSubwords, qBandedLsh, qMultimodal, qLangId,
-    qRoundtrip, qStreamHourly, qStreamSessions, qStreamDedup,
+    qRoundtrip, qStreamHourly, qStreamSessions, qStreamDedup, qStreamAttribution,
     qEmbStats, qAnn, qCentroids, qIvf, qEmbNearDup, qQuantize,
     qContourGolden, qChopGolden)
 }

@@ -134,6 +134,40 @@ object Streaming {
       .withColumn("tkey", sha2(col("text"), 256))
       .dropDuplicatesWithinWatermark("tkey")
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * view events from the preceding hour — BOTH sides are streams with
+    * event-time watermarks, the one streaming join shape where Spark can
+    * bound join state: the time-range condition plus the watermarks lets
+    * the engine evict buffered view rows older than (watermark - 1h)
+    * instead of holding both streams forever. Append-mode output; the
+    * bounded gate replay delivers everything in one micro-batch (nothing
+    * is late), so the emitted pairs equal the batch interval join, which
+    * is the q44 oracle. */
+  def purchaseAttribution(spark: SparkSession, eventsPath: String): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    def stream() = streamOf(spark, eventsPath, schema)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val views = stream().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = purchases.join(
+      views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("user_id"),
+        unix_micros(col("v_ts")).as("view_us"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+    val qn = s"stream_attr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream.format("memory").queryName(qn).outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(qn).orderBy("p_id", "view_us")
+  }
+
   /** Drive sessionize as a real streaming query over the events table. */
   def sessionizeStream(spark: SparkSession, eventsPath: String): DataFrame = {
     import spark.implicits._

@@ -1,0 +1,66 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** as-of join semantics: backward inclusive match, unmatched rows drop,
+  * equal-ts right rows resolve to the largest payload, and the plan holds
+  * its one-exchange no-join-node shape. */
+class AsOfSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]").appName("asof-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  test("backward inclusive as-of with drops, ties, and payload carry") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), // matches right ts=10 (inclusive)
+      (2L, 10L, 95L),  // right ts 90? -> latest <= 95 is 90
+      (3L, 10L, 10L),  // before any right row -> dropped
+      (4L, 20L, 50L)   // key with no right rows -> dropped
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (10L, 90L, "a"), (10L, 100L, "b"), (10L, 100L, "c"), // tie at 100
+      (10L, 120L, "d")
+    ).toDF("k", "ts", "tag")
+    val out = AsOf.join(left, right, "k", "ts", "ts", Seq("tag"))
+      .select("id", "asof_ts", "asof_tag").as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    // id 1: ts 100 tie -> largest payload ("c"); id 2: ts 90; 3 & 4 dropped
+    assert(out == Seq((1L, 100L, "c"), (2L, 90L, "a")))
+  }
+
+  test("as-of plan: one keyed window, zero join nodes") {
+    import spark.implicits._
+    val left = (0 until 1000).map(i => (i.toLong, (i % 7).toLong, (i * 13 % 997).toLong))
+      .toDF("id", "k", "ts")
+    val right = (0 until 500).map(i => ((i % 7).toLong, (i * 11 % 997).toLong, i.toLong))
+      .toDF("k", "ts", "v")
+    val out = AsOf.join(left, right, "k", "ts", "ts", Seq("v"))
+    out.collect()
+    // AQE repeats the tree under "== Initial Plan =="; inspect the final one
+    val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    // exactly one exchange feeds the window (the union is exchange-free)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("as-of equals the brute-force definition on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 400).map(i => (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(200).toLong))
+    val right = (0 until 300).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(200).toLong))
+    val got = AsOf.join(left.toDF("id", "k", "ts"), right.toDF("k", "ts"), "k", "ts", "ts")
+      .select("id", "asof_ts").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val byKey = right.groupBy(_._1)
+    val expect = left.flatMap { case (id, k, ts) =>
+      byKey.getOrElse(k, Nil).map(_._2).filter(_ <= ts)
+        .reduceOption(_ max _).map(id -> _)
+    }.sortBy(_._1)
+    assert(got == expect)
+  }
+}
