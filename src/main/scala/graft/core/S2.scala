@@ -236,18 +236,24 @@ object S2 {
       contains(bLo, bHi, aLo) || contains(bLo, bHi, aHi)
   }
 
-  /** Cells at `level` covering a lat/lon rectangle — superset-guaranteed:
-    * every point of the rect lies in some returned cell (the covering may
-    * spill over the rect's edges; callers re-filter exactly). Works on any
-    * face mix, including the poles and rects touching the antimeridian
-    * seam from the west side. The returned ids are the range-pruning
-    * handles: a table clustered by leaf cell id serves the rect from
-    * `cell BETWEEN rangeMin(c) AND rangeMax(c)` per cover cell. */
-  def coverRect(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double, level: Int): Seq[Long] = {
-    require(level >= 0 && level <= MaxLevel)
+  /** Adaptive cell covering of a lat/lon rectangle (the published
+    * RegionCoverer idea): descend the cell tree, emitting a cell early
+    * when its exact bound lies FULLY inside the rect (interior cells stay
+    * coarse — one wide pruning range instead of 4^k fine ones) and
+    * otherwise subdividing down to `maxLevel` along the rect's edges.
+    * Superset-guaranteed: every point of the rect lies in some returned
+    * cell; the covering may spill over the edges, callers re-filter
+    * exactly. Works on any face mix, including the poles and rects
+    * touching the antimeridian seam from the west side. The returned ids
+    * (mixed levels) are the range-pruning handles: a table clustered by
+    * leaf cell id serves the rect from `cell BETWEEN rangeMin(c) AND
+    * rangeMax(c)` per cover cell. */
+  def coverRect(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double, maxLevel: Int): Seq[Long] = {
+    require(maxLevel >= 0 && maxLevel <= MaxLevel)
     val eps = 1e-9 // fp guard: pad the query so boundary points stay covered
     val qLat0 = minLat - eps; val qLat1 = maxLat + eps
     val qLon0 = minLon - eps; val qLon1 = maxLon + eps
+    val fullLonQuery = maxLon - minLon >= 360.0 - 2e-9
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     def descend(f: Int, lvl: Int, i: Int, j: Int): Unit = {
       val size = 1 << (MaxLevel - lvl)
@@ -258,7 +264,14 @@ object S2 {
       val (latMin, latMax, lonLo, lonHi, _) = uvRectBound(f, u0, u1, v0, v1)
       if (latMax + eps < qLat0 || latMin - eps > qLat1) return
       if (!lonIntervalsOverlap(lonLo - eps, lonHi + eps, qLon0, qLon1)) return
-      if (lvl == level) { out += fromFaceIJ(f, i, j, level); return }
+      // early emit: the cell's (outward-padded) bound inside the rect
+      // implies the cell itself is — keep it coarse
+      val latInside = qLat0 <= latMin - eps && latMax + eps <= qLat1
+      val lonInside = fullLonQuery ||
+        (lonLo <= lonHi && qLon0 <= lonLo - eps && lonHi + eps <= qLon1)
+      if (lvl == maxLevel || (latInside && lonInside)) {
+        out += fromFaceIJ(f, i, j, lvl); return
+      }
       val h = size >> 1
       descend(f, lvl + 1, i, j); descend(f, lvl + 1, i + h, j)
       descend(f, lvl + 1, i, j + h); descend(f, lvl + 1, i + h, j + h)

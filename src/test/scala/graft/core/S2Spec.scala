@@ -128,23 +128,26 @@ class S2Spec extends AnyFunSuite {
       (-180.0, 85.0, 180.0, 90.0), // polar cap: all longitudes
       (10.0, -90.0, 20.0, -85.0))  // south polar wedge
     for ((lo0, la0, lo1, la1) <- rects; level <- Seq(4, 8)) {
-      val cover = S2.coverRect(lo0, la0, lo1, la1, level).toSet
+      val cover = S2.coverRect(lo0, la0, lo1, la1, level)
       assert(cover.nonEmpty)
-      cover.foreach(c => assert(S2.level(c) == level))
+      cover.foreach(c => assert(S2.level(c) <= level)) // adaptive: mixed levels
       for (s <- 0 until 400) {
         val lon = lo0 + (lo1 - lo0) * ((s * 2654435761L % 1000L) / 999.0)
         val lat = la0 + (la1 - la0) * ((s * 40503L % 1000L) / 999.0)
-        val cell = S2.cellId(lon, lat, level)
-        assert(cover.contains(cell), s"rect ($lo0,$la0,$lo1,$la1) level $level point ($lon,$lat)")
+        val leaf = S2.cellId(lon, lat, 30)
+        assert(cover.exists(S2.contains(_, leaf)),
+          s"rect ($lo0,$la0,$lo1,$la1) level $level point ($lon,$lat)")
       }
     }
   }
 
-  test("coverRect stays tight on an interior rect") {
-    // 1x1 deg at level 8 (cell ~0.35 deg): the cover must be a local
-    // neighbourhood, not a face dump
-    val cover = S2.coverRect(6.0, 43.0, 7.0, 44.0, 8)
-    assert(cover.size <= 64, s"cover size ${cover.size}")
+  test("coverRect stays tight on an interior rect and coarsens its interior") {
+    // 1x1 deg at maxLevel 10 (leaf-of-cover cell ~0.09 deg): edge cells
+    // subdivide, interior cells emit coarse — far fewer than the ~130
+    // uniform level-10 cells the rect spans
+    val cover = S2.coverRect(6.0, 43.0, 7.0, 44.0, 10)
+    assert(cover.size <= 100, s"cover size ${cover.size}") // ~130 uniform
+    assert(cover.exists(c => S2.level(c) < 10), "no interior coarsening")
     // and the ranges are usable pruning handles: disjoint, sorted-mergeable
     val ranges = cover.map(c => (S2.rangeMin(c), S2.rangeMax(c))).sortBy(_._1)
     ranges.sliding(2).foreach { case Seq(a, b) => assert(a._2 < b._1) case _ => }
