@@ -143,17 +143,19 @@ object Streaming {
     * bounded gate replay delivers everything in one micro-batch (nothing
     * is late), so the emitted pairs equal the batch interval join, which
     * is the q44 oracle. */
-  def purchaseAttribution(spark: SparkSession, eventsPath: String): DataFrame = {
-    val schema = spark.read.parquet(eventsPath).schema
-    def stream() = streamOf(spark, eventsPath, schema)
-      .withColumn("ts", col("ts").cast("timestamp"))
-    val views = stream().filter(col("event_type") === "view")
+  /** The join topology itself, over any (streaming or batch) events DF
+    * with (event_id, user_id, ts, event_type): purchases x views of the
+    * same user within the preceding hour. Exposed so specs can drive it
+    * chunk-by-chunk and observe watermark state eviction. */
+  def attributionJoin(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val ev = events.withColumn("ts", col("ts").cast("timestamp"))
+    val views = ev.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
-      .withWatermark("v_ts", "2 hours")
-    val purchases = stream().filter(col("event_type") === "purchase")
+      .withWatermark("v_ts", watermark)
+    val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "2 hours")
-    val joined = purchases.join(
+      .withWatermark("p_ts", watermark)
+    purchases.join(
       views,
       col("user_id") === col("v_user") &&
         col("v_ts") <= col("p_ts") &&
@@ -161,8 +163,20 @@ object Streaming {
       .select(col("p_id"), col("user_id"),
         unix_micros(col("v_ts")).as("view_us"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
+  def purchaseAttribution(spark: SparkSession, eventsPath: String): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val joined = attributionJoin(streamOf(spark, eventsPath, schema))
     val qn = s"stream_attr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = joined.writeStream.format("memory").queryName(qn).outputMode("append").start()
+    // stream-stream join state = 4 store instances PER shuffle partition,
+    // each paying a per-batch commit: cap partitions for the join's
+    // stateful stage (the setting binds at query START; restored after)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try joined.writeStream.format("memory").queryName(qn).outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try q.processAllAvailable()
     finally q.stop()
     spark.table(qn).orderBy("p_id", "view_us")

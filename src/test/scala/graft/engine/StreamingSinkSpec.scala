@@ -110,4 +110,61 @@ class StreamingSinkSpec extends AnyFunSuite {
     val texts = spark.table(qn).select("text").collect().map(_.getString(0)).sorted.toSeq
     assert(texts == Seq("alpha", "beta", "gamma"), s"got $texts")
   }
+
+  test("stream-stream join: watermark bounds state, late purchases drop") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ssjoin").toString
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+    def writeEvents(name: String, rows: Seq[(Long, String, Long, String)]): Unit = {
+      val tmp = s"$base/tmp_$name"
+      rows.toDF("event_id", "ts_s", "user_id", "event_type")
+        .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+    // batch 1: early views + one purchase (BOTH sides need event-time
+    // flow: the global watermark is the MIN across the two streams'
+    // watermark nodes, so a silent side pins it at epoch)
+    writeEvents("b1", Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:10:00", 2L, "view"),
+      (100L, "2024-01-01 10:12:00", 2L, "purchase"))) // joins view 2
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val joined = Streaming.attributionJoin(stream, watermark = "30 minutes")
+    val qn = "ssjoin_wm_test"
+    val q = joined.writeStream.format("memory").queryName(qn).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: jump event time 10 hours ahead on BOTH sides — the
+      // global watermark advances to 19:30-ish, making batch-1 state
+      // evictable (more than the 1h join window behind)
+      writeEvents("b2", Seq(
+        (3L, "2024-01-01 20:00:00", 1L, "view"),
+        (101L, "2024-01-01 20:05:00", 2L, "purchase"))) // no view in its hour
+      q.processAllAvailable()
+      // batch 3: one LATE purchase (10:05, far behind the watermark:
+      // dropped on input — its batch-join match with view 1 must NOT
+      // appear) and one current purchase matching view 3 within the hour
+      writeEvents("b3", Seq(
+        (4L, "2024-01-01 10:05:00", 1L, "purchase"),
+        (5L, "2024-01-01 20:30:00", 1L, "purchase")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(qn).select("p_id", "view_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val t2us = java.sql.Timestamp.valueOf("2024-01-01 10:10:00").getTime * 1000L
+    val t3us = java.sql.Timestamp.valueOf("2024-01-01 20:00:00").getTime * 1000L
+    assert(out == Seq((5L, t3us), (100L, t2us)), s"got $out")
+    // the batch join over the same files WOULD match the late purchase —
+    // the missing (4, view 1) pair is exactly the watermark's doing
+    val batchPairs = Streaming.attributionJoin(spark.read.parquet(srcDir)).count()
+    assert(batchPairs == 3, s"batch join found $batchPairs pairs")
+  }
 }
