@@ -136,9 +136,10 @@ object PipelineCli {
             srtmRes = 3
           }
           i += 2
-        case "--viewfinder-mask" => // reference viewfinder preference (cli.py:350)
+        case "--viewfinder-mask" => // reference viewfinder preference (cli.py:350);
+          // 0 is the valid disabled default (validation is `not in [0,1,3]`)
           viewMask = args(i + 1).toInt
-          if (viewMask != 1 && viewMask != 3) {
+          if (viewMask != 0 && viewMask != 1 && viewMask != 3) {
             System.err.println("The --viewfinder-mask option can only take '1' or '3' as values.  Won't use viewfinder data.")
             viewMask = 0
           }
@@ -153,8 +154,11 @@ object PipelineCli {
       }
     }
     // reference default-source derivation (cli.py:511-517): no explicit
-    // --source/--data-source and no input files -> [view{mask}?, srtm{res}]
-    if (sourcePrefs.isEmpty && files.isEmpty)
+    // --source/--data-source and no input files -> [view{mask}?, srtm{res}].
+    // NOT for --rewrite-indices runs: the reference rebuilds indices and
+    // exits BEFORE this derivation (cli.py:475-477), and main's arch3
+    // fallback must keep covering that path
+    if (sourcePrefs.isEmpty && files.isEmpty && !rewriteIndices)
       sourcePrefs = (if (viewMask != 0) Seq(s"view$viewMask") else Nil) :+ s"srtm$srtmRes"
     // reference --polygon contract (cli.py:68-72): "a bounding box passed to
     // the --area option will be ignored" when a polygon file is given

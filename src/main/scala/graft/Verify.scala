@@ -8,6 +8,8 @@ object Verify {
     require(args.length >= 2, "usage: Verify <sfDir> <outDir> [queryName ...]")
     val sfDir = args(0); val outDir = args(1)
     val only = args.drop(2).toSet // empty = all (the driver's contract)
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -36,11 +36,17 @@ object AsOf {
       rightValCols: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
     val carried = rightTsCol +: rightValCols
+    // SQL join semantics: NULL keys/timestamps never match (a window
+    // partition would happily group NULL keys together; DuckDB's
+    // `ON p.k = v.k AND v.ts <= p.ts` would not)
     val l = left
+      .filter(col(key).isNotNull && col(leftTsCol).isNotNull)
       .withColumn("__k", col(key))
       .withColumn("__t", col(leftTsCol))
       .withColumn("__side", lit(1))
-    val r = right.select(
+    val r = right
+      .filter(col(key).isNotNull && col(rightTsCol).isNotNull)
+      .select(
       col(key).as("__k"),
       col(rightTsCol).as("__t"),
       lit(0).as("__side"),

@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Hilbert-curve cell id of (lon, lat) at a plan-time level — the
   * S2-style locality index as a codegen'd Catalyst expression. Range
@@ -10,9 +10,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * (core/Hilbert.scala), the property the north rule's "explicit
   * range-partitioned shuffle" leans on for dense-geometry joins. */
 case class HilbertCell(left: Expression, right: Expression, level: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   require(level >= 1 && level <= 30)
   override def dataType: DataType = LongType
+  // analyzer-inserted casts keep interpreted eval and codegen consistent
+  // for non-double lon/lat inputs (int/float columns)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
 
   /** Codegen + interpreted kernel (public so generated Java can call it). */
   def cell(lon: Double, lat: Double): Long = graft.core.Hilbert.cellId(lon, lat, level)

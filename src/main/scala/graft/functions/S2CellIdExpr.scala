@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** S2 cell id of (lon, lat) at a plan-time level, as a codegen'd Catalyst
   * expression (core/S2.scala): the hierarchical sphere index the north
@@ -13,9 +13,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * (S2.parent / S2.rangeMin..rangeMax) — no UDF anywhere.
   */
 case class S2CellIdExpr(left: Expression, right: Expression, level: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   require(level >= 0 && level <= graft.core.S2.MaxLevel)
   override def dataType: DataType = LongType
+  // analyzer-inserted casts keep interpreted eval and codegen consistent
+  // for non-double lon/lat inputs (int/float columns)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
 
   /** Codegen + interpreted kernel (public so generated Java can call it). */
   def cell(lon: Double, lat: Double): Long = graft.core.S2.cellId(lon, lat, level)

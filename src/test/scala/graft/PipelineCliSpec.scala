@@ -72,12 +72,19 @@ class PipelineCliSpec extends AnyFunSuite {
     assert(d1.sourcePrefs == Seq("srtm3"))
     val d2 = PipelineCli.parseOptions(Seq("--srtm", "1", "--viewfinder-mask", "3", "--area", "6:43:7:44"))
     assert(d2.sourcePrefs == Seq("view3", "srtm1"))
-    // invalid values fall back like the reference (warn, not die)
+    // invalid values fall back like the reference (warn, not die);
+    // 0 is the reference's valid disabled default for the mask
     val d3 = PipelineCli.parseOptions(Seq("--srtm", "2", "--viewfinder-mask", "5"))
     assert(d3.sourcePrefs == Seq("srtm3"))
+    val d3b = PipelineCli.parseOptions(Seq("--viewfinder-mask", "0"))
+    assert(d3b.sourcePrefs == Seq("srtm3"))
     // input files given: no download source derived (cli.py:518-520)
     val d4 = PipelineCli.parseOptions(Seq("--srtm", "1", "b.hgt"))
     assert(d4.sourcePrefs.isEmpty)
+    // --rewrite-indices exits before derivation in the reference
+    // (cli.py:475-477): no default source may be derived for it
+    val d5 = PipelineCli.parseOptions(Seq("--rewrite-indices"))
+    assert(d5.rewriteIndices && d5.sourcePrefs.isEmpty)
   }
 
   test("no config file: argv parses unchanged; missing --config fails loudly") {

@@ -49,6 +49,23 @@ class AsOfSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("NULL keys and NULL timestamps never match (SQL join semantics)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Some(10L), Some(100L)), // normal match
+      (2L, None, Some(100L)),      // null key: no match even vs null-key right
+      (3L, Some(10L), None)        // null ts: no match
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (Some(10L), Some(50L), "a"),
+      (Option.empty[Long], Some(60L), "nullkey"), // must pair with nothing
+      (Some(10L), Option.empty[Long], "nullts")   // must never be picked
+    ).toDF("k", "ts", "tag")
+    val out = AsOf.join(left, right, "k", "ts", "ts", Seq("tag"))
+      .select("id", "asof_tag").as[(Long, String)].collect().toSeq.sorted
+    assert(out == Seq((1L, "a")))
+  }
+
   test("as-of equals the brute-force definition on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -160,6 +160,14 @@ class PlanSpec extends AnyFunSuite {
     // and both equal the plain-Scala kernel
     val expect = (0 until 500).map(i => graft.core.S2.cellId(i * 0.7 - 175.0, i * 0.33 - 82.0, 13))
     assert(c1 == expect)
+    // non-double inputs take the analyzer's implicit cast in BOTH paths
+    def runInt(): Seq[Long] = spark.range(0, 50)
+      .selectExpr("s2_cell_t(CAST(id AS INT), CAST(id % 60 AS FLOAT)) AS c")
+      .as[Long].collect().toSeq
+    val i1 = runInt()
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(i1 == runInt())
+    finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
   test("pip/shingle/wrap codegen matches interpreted eval") {
