@@ -787,6 +787,84 @@ object Queries {
            | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
            |ORDER BY p_id, view_us""".stripMargin))
 
+  private val qDomainCap = Q(
+    "q45_domain_cap",
+    (s, dir) => {
+      // per-domain document cap (every crawl pipeline caps docs/domain):
+      // rank within source by (n_chars DESC, doc_id ASC), keep top 10.
+      // Spark 4 plans the rank<=k filter as WindowGroupLimit — a PARTIAL
+      // top-k runs before the exchange (asserted in PlanSpec), so at
+      // 10^12 rows each map task ships at most k rows per domain.
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("source", "rank", "doc_id", "n_chars")
+        .orderBy("source", "rank")
+    },
+    Some("""SELECT source, rank, doc_id, n_chars FROM (
+           | SELECT source, doc_id, n_chars,
+           |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rank
+           | FROM documents) WHERE rank <= 10 ORDER BY source, rank""".stripMargin))
+
+  private val qRepetition = Q(
+    "q46_repetition",
+    (s, dir) => {
+      // Gopher-style repetition quality: the share of the doc's word
+      // bigrams taken by its single most frequent bigram (boilerplate and
+      // looped generations score high). Per-doc grams never leave their
+      // row until the (doc_id, gram-hash) count — raw grams stay out of
+      // exchanges by hashing (same rule as q20).
+      val words = split(col("text"), " ")
+      val grams = transform(
+        sequence(lit(0), size(words) - 2),
+        i => xxhash64(concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
+      val counts = t(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"), explode(grams).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      counts
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"),
+          round(max("c").cast("double") / sum("c"), 6).as("top_share"),
+          round(count(lit(1)).cast("double") / sum("c"), 6).as("distinct_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           | round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share,
+           | round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_frac
+           |FROM (
+           | SELECT doc_id, g, count(*) AS c FROM (
+           |  SELECT doc_id, words[i] || ' ' || words[i+1] AS g
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+           |   , LATERAL unnest(generate_series(1, len(words) - 1)) AS t(i)
+           |  WHERE len(words) >= 2)
+           | GROUP BY doc_id, g)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  private val qDecontam = Q(
+    "q47_decontam",
+    (s, dir) => {
+      // benchmark decontamination: flag corpus docs sharing any 4-gram
+      // with the benchmark set (doc_id < 5 here; a real benchmark is
+      // similarly tiny next to the corpus). The benchmark's distinct gram
+      // hashes BROADCAST, so the corpus side is one narrow scan + a
+      // broadcast semi-ish join — the corpus never shuffles, which is the
+      // whole decontamination story at 10^12 docs.
+      val sh = shingles(s, dir)
+      val bench = sh.filter(col("doc_id") < 5).select("h").distinct()
+      sh.filter(col("doc_id") >= 5)
+        .join(broadcast(bench), Seq("h"))
+        .groupBy("doc_id")
+        .agg(countDistinct("h").as("n_shared"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, count(DISTINCT h) AS n_shared
+            |FROM ($shinglesSql) c
+            |WHERE doc_id >= 5 AND h IN (SELECT h FROM ($shinglesSql) WHERE doc_id < 5)
+            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   // --------------------------------------------------------------- embeddings ---
 
   private def embDims(s: SparkSession, dir: String): DataFrame =
@@ -1271,6 +1349,7 @@ object Queries {
     qDedupExact, qMinhash, qNearDup, qSimhash, qSimhashNearDup, qTextStats, qNgrams,
     qJaccard, qFingerprint, qQuality, qSubwords, qBandedLsh, qMultimodal, qLangId,
     qRoundtrip, qStreamHourly, qStreamSessions, qStreamDedup, qStreamAttribution,
+    qDomainCap, qRepetition, qDecontam,
     qEmbStats, qAnn, qCentroids, qIvf, qEmbNearDup, qQuantize,
     qContourGolden, qChopGolden)
 }

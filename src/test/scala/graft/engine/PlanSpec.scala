@@ -170,6 +170,26 @@ class PlanSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
+  test("q45 domain cap runs a partial top-k before the exchange (WindowGroupLimit)") {
+    val q = Queries.all.find(_.name == "q45_domain_cap").get
+    val df = q.impl(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // Spark 4 plans rank<=k as WindowGroupLimit in Partial mode below the
+    // shuffle: each map task ships at most k rows per domain
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
+
+  test("q47 decontamination broadcasts the benchmark, never shuffles the corpus grams") {
+    val q = Queries.all.find(_.name == "q47_decontam").get
+    val df = q.impl(spark, dir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("pip/shingle/wrap codegen matches interpreted eval") {
     import spark.implicits._
     // force both paths: default (codegen) vs spark.sql.codegen.factoryMode
