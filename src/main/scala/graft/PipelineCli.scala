@@ -37,7 +37,14 @@ object PipelineCli {
     * flags, `#` comments — found via --config FILE, else $SPARK_GRAFT_CONFIG,
     * else ~/.graft/config. File options are PREPENDED to argv, so an
     * explicit argv option always wins (later parse overwrites earlier). */
-  private[graft] def expandConfig(args: Seq[String]): Seq[String] = {
+  private[graft] def expandConfig(args: Seq[String]): Seq[String] =
+    expandConfigLayered(args)._1
+
+  /** Like expandConfig, also returning the index where explicit argv
+    * starts (config-file options occupy the prefix): option layering —
+    * argv overrides config — needs the boundary, e.g. for the gzip/o5m/
+    * pbf exclusion group, which only errors WITHIN a layer. */
+  private[graft] def expandConfigLayered(args: Seq[String]): (Seq[String], Int) = {
     val idx = args.indexOf("--config")
     val (cfgFile, argv) =
       if (idx >= 0 && idx + 1 < args.length) (Some(args(idx + 1)), args.patch(idx, Nil, 2))
@@ -62,11 +69,13 @@ object PipelineCli {
           }
         }
     }
-    fileArgs ++ argv
+    (fileArgs ++ argv, fileArgs.length)
   }
 
-  /** Parse the post-<out-dir> option/file list (config already expanded). */
-  private[graft] def parseOptions(argSeq: Seq[String]): CliOptions = {
+  /** Parse the post-<out-dir> option/file list (config already expanded).
+    * `argvStart`: index of the first explicit-argv element — flags before
+    * it came from the config file and may be overridden without error. */
+  private[graft] def parseOptions(argSeq: Seq[String], argvStart: Int = 0): CliOptions = {
     val args = argSeq.toArray
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     var cfg = JobConfig(rdpEpsilon = None)
@@ -83,6 +92,7 @@ object PipelineCli {
     // preference list is derived as [view{mask}?, srtm{res}]
     var srtmRes = 3
     var viewMask = 0
+    var formatFlag: Option[String] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -102,9 +112,21 @@ object PipelineCli {
         case "--max-nodes-per-way" => cfg = cfg.copy(maxNodesPerWay = args(i + 1).toInt); i += 2
         case "--rdp" => cfg = cfg.copy(rdpEpsilon = Some(args(i + 1).toDouble)); i += 2
         case "--cores" => cores = args(i + 1); i += 2
-        case "--pbf" => format = graft.sinks.TileSink.PbfFormat; i += 1
-        case "--o5m" => format = graft.sinks.TileSink.O5mFormat; i += 1
-        case "--gzip" => format = graft.sinks.TileSink.OsmGzFormat; i += 1
+        // --gzip / --o5m / --pbf are mutually exclusive like the reference's
+        // argparse group (tests/test_cli.py:13-24) — within a layer: an
+        // argv flag silently overrides a config-file one (argv wins)
+        case f @ ("--pbf" | "--o5m" | "--gzip") =>
+          if (i >= argvStart) {
+            formatFlag.foreach(prev => throw new IllegalArgumentException(
+              s"error: argument $f: not allowed with argument $prev"))
+            formatFlag = Some(f)
+          }
+          format = f match {
+            case "--pbf" => graft.sinks.TileSink.PbfFormat
+            case "--o5m" => graft.sinks.TileSink.O5mFormat
+            case _ => graft.sinks.TileSink.OsmGzFormat
+          }
+          i += 1
         case "--osm-version" => cfg = cfg.copy(osmVersion = args(i + 1).toDouble); i += 2
         case "--write-timestamp" => // epoch seconds (deterministic, injectable)
           cfg = cfg.copy(writeTimestamp = Some(args(i + 1).toLong)); i += 2
@@ -176,7 +198,12 @@ object PipelineCli {
       System.err.println("usage: PipelineCli <out-dir> <file.hgt>... [options]"); sys.exit(2)
     }
     val outDir = args(0)
-    val opts = parseOptions(expandConfig(args.toSeq.drop(1)))
+    val (expanded, argvStart) = expandConfigLayered(args.toSeq.drop(1))
+    val opts =
+      try parseOptions(expanded, argvStart)
+      catch { case e: IllegalArgumentException =>
+        System.err.println(e.getMessage); sys.exit(2)
+      }
     val files = scala.collection.mutable.ArrayBuffer.empty[String] ++ opts.files
     var cfg = opts.cfg
     val cores = opts.cores

@@ -33,8 +33,9 @@ class PipelineCliSpec extends AnyFunSuite {
 
   test("explicit argv always beats the config file") {
     val cfg = writeCfg("step = 25", "pbf", "osm-version = 0.5")
-    val opts = PipelineCli.parseOptions(
-      PipelineCli.expandConfig(Seq("--config", cfg, "--step", "10", "--o5m", "b.hgt")))
+    val (expanded, argvStart) = PipelineCli.expandConfigLayered(
+      Seq("--config", cfg, "--step", "10", "--o5m", "b.hgt"))
+    val opts = PipelineCli.parseOptions(expanded, argvStart)
     assert(opts.cfg.contourStepSize == 10) // argv wins
     assert(opts.format == graft.sinks.TileSink.O5mFormat) // argv wins
     assert(opts.cfg.osmVersion == 0.5) // file default survives
@@ -85,6 +86,21 @@ class PipelineCliSpec extends AnyFunSuite {
     // (cli.py:475-477): no default source may be derived for it
     val d5 = PipelineCli.parseOptions(Seq("--rewrite-indices"))
     assert(d5.rewriteIndices && d5.sourcePrefs.isEmpty)
+  }
+
+  test("gzip/o5m/pbf are mutually exclusive on argv, but argv overrides config") {
+    // reference argparse exclusion group (tests/test_cli.py:13-24)
+    val e = intercept[IllegalArgumentException](
+      PipelineCli.parseOptions(Seq("--o5m", "--gzip", "a.hgt")))
+    assert(e.getMessage == "error: argument --gzip: not allowed with argument --o5m")
+    assertThrows[IllegalArgumentException](
+      PipelineCli.parseOptions(Seq("--pbf", "--o5m")))
+    // layered: a config-file `pbf` overridden by argv --o5m is NOT an error
+    val cfg = writeCfg("pbf")
+    val (expanded, argvStart) = PipelineCli.expandConfigLayered(
+      Seq("--config", cfg, "--o5m", "b.hgt"))
+    val opts = PipelineCli.parseOptions(expanded, argvStart)
+    assert(opts.format == graft.sinks.TileSink.O5mFormat)
   }
 
   test("no config file: argv parses unchanged; missing --config fails loudly") {

@@ -56,6 +56,15 @@ class PolyPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("fully-masked input yields zero tiles (reference test_make_tiles_fully_masked)") {
+    assume(available)
+    // clip polygon entirely outside the tile: every cell masks away and
+    // tile planning must emit nothing (plan-time drop, no trace work)
+    val cfg = JobConfig(contourStepSize = 100, maxNodesPerTile = 0L,
+      polygons = Some(Seq(Array(10.5, 50.5, 10.9, 50.5, 10.9, 50.9, 10.5, 50.9))))
+    assert(RasterPipeline.tiles(spark, Seq(fixture), cfg).collect().isEmpty)
+  }
+
   test("corrx/corry shift the tile bbox (reference --corrx/--corry)") {
     assume(available)
     val cfg = JobConfig(contourStepSize = 100, maxNodesPerTile = 0L,
