@@ -63,4 +63,76 @@ object AsOf {
       .select(leftCols.map(col) ++
         carried.map(c => col("__m").getField(c).as(s"asof_$c")): _*)
   }
+
+  /** Skew-safe as-of join — identical semantics to `join`, but a HOT KEY
+    * no longer serializes on one reducer: rows are windowed per
+    * (key, time-bucket) so a key's work spreads over its buckets, and a
+    * second, far smaller pass over per-bucket summaries carries the
+    * latest right value across bucket boundaries (segmented prefix scan).
+    * Costs one extra small shuffle; use when a key can hold ~10^8+ rows
+    * (the same reasoning as pipJoinSalted for dense cells).
+    *
+    * @param bucketWidth bucket size in the timestamp's units (seconds for
+    *   timestamp columns, raw units for numeric ts columns). */
+  def joinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightValCols: Seq[String] = Nil,
+      bucketWidth: Long = 3600L): DataFrame = {
+    require(bucketWidth > 0)
+    val leftCols = left.columns.toSeq
+    val carried = rightTsCol +: rightValCols
+    val tsIsTime = left.schema(leftTsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => true
+      case org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    def bucketOf(t: org.apache.spark.sql.Column) = {
+      val numeric = if (tsIsTime) unix_timestamp(t.cast("timestamp")) else t.cast("long")
+      floor(numeric / lit(bucketWidth)).cast("long")
+    }
+    val l = left
+      .filter(col(key).isNotNull && col(leftTsCol).isNotNull)
+      .withColumn("__k", col(key))
+      .withColumn("__t", col(leftTsCol))
+      .withColumn("__side", lit(1))
+    val r = right
+      .filter(col(key).isNotNull && col(rightTsCol).isNotNull)
+      .select(
+        col(key).as("__k"),
+        col(rightTsCol).as("__t"),
+        lit(0).as("__side"),
+        struct(carried.map(col): _*).as("__rv"))
+    val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__b", bucketOf(col("__t")))
+    // pass 1: running last WITHIN each (key, bucket) — the wide stage, now
+    // parallel across a hot key's buckets
+    val wLocal = Window.partitionBy("__k", "__b")
+      .orderBy(col("__t"), col("__side"), col("__rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = u.withColumn("__local", last(col("__rv"), ignoreNulls = true).over(wLocal))
+    // pass 2 input: ONE row per (key, bucket) — latest right value of the
+    // bucket (max (t, rv) = the same tie-break as the window order)
+    val carryOuts = u.filter(col("__side") === 0)
+      .groupBy("__k", "__b")
+      .agg(max(struct(col("__t"), col("__rv"))).as("__co"))
+    // every bucket that EXISTS in the union needs a carry-in (left-only
+    // buckets included), from strictly earlier buckets of the same key
+    val wCarry = Window.partitionBy("__k").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIns = u.select("__k", "__b").distinct()
+      .join(carryOuts, Seq("__k", "__b"), "left")
+      .withColumn("__ci", last(col("__co"), ignoreNulls = true).over(wCarry))
+      .select(col("__k"), col("__b"), col("__ci.__rv").as("__carry"))
+    staged
+      .filter(col("__side") === 1)
+      .join(carryIns, Seq("__k", "__b"))
+      .withColumn("__m", coalesce(col("__local"), col("__carry")))
+      .filter(col("__m").isNotNull)
+      .select(leftCols.map(col) ++
+        carried.map(c => col("__m").getField(c).as(s"asof_$c")): _*)
+  }
 }

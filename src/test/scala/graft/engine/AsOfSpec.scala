@@ -66,6 +66,42 @@ class AsOfSpec extends AnyFunSuite {
     assert(out == Seq((1L, "a")))
   }
 
+  test("bucketed (skew-safe) as-of equals the single-window form exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // a deliberately HOT key (0 carries half the rows) + bucket-boundary
+    // timestamps (multiples of the width) + ties
+    val left = (0 until 600).map { i =>
+      val k = if (rnd.nextBoolean()) 0L else rnd.nextInt(4).toLong
+      (i.toLong, k, (rnd.nextInt(40) * 25).toLong) // ts multiples of 25
+    }.toDF("id", "k", "ts")
+    val right = (0 until 400).map { i =>
+      val k = if (rnd.nextBoolean()) 0L else rnd.nextInt(4).toLong
+      (k, (rnd.nextInt(40) * 25).toLong, i.toLong)
+    }.toDF("k", "ts", "v")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "asof_ts", "asof_v").as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val plain = norm(AsOf.join(left, right, "k", "ts", "ts", Seq("v")))
+    // width 100 = 4 ts values per bucket; also try a width that makes
+    // every row its own bucket and one that makes a single bucket
+    for (w <- Seq(100L, 1L, 1000000L))
+      assert(norm(AsOf.joinBucketed(left, right, "k", "ts", "ts", Seq("v"), w)) == plain, s"width $w")
+  }
+
+  test("bucketed as-of on timestamp columns matches the q17 oracle shape") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view").select("user_id", "ts")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), unix_micros(col("asof_ts")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val a = norm(AsOf.join(purchases, views, "user_id", "ts", "ts"))
+    val b = norm(AsOf.joinBucketed(purchases, views, "user_id", "ts", "ts", Nil, 86400L))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("as-of equals the brute-force definition on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
