@@ -865,6 +865,47 @@ object Queries {
             |WHERE doc_id >= 5 AND h IN (SELECT h FROM ($shinglesSql) WHERE doc_id < 5)
             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  private val qSplit = Q(
+    "q48_dataset_split",
+    (s, dir) => {
+      // deterministic train/val/test split: a seeded LCG bucket per doc
+      // (never random() — resumable, reproducible, joinable) with per-lang
+      // stratification counts. Pure integer arithmetic, no hash-function
+      // parity risk between engines (doc_id * 2654435761 stays < 2^63,
+      // so neither engine wraps).
+      val bucket = (col("doc_id") * lit(2654435761L) + lit(12345L)) % lit(100L)
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 4).as("avg_chars"))
+        .orderBy("lang", "split")
+    },
+    Some("""SELECT lang, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+           | count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+           |FROM (SELECT *, (doc_id * 2654435761 + 12345) % 100 AS b FROM documents)
+           |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin))
+
+  private val qLengthHist = Q(
+    "q49_length_histogram",
+    (s, dir) => {
+      // corpus length distribution in power-of-two buckets — the profile
+      // every pipeline computes before choosing packing/truncation limits.
+      // Bucket = bit length - 1 via bin(), INTEGER-exact on both engines
+      // (floor(log2(n)) would flip at exact powers of two when one
+      // engine's log2 lands an ulp under the integer).
+      val b = (length(bin(greatest(col("n_chars"), lit(1)))) - 1).cast("long")
+      t(s, dir, "documents")
+        .withColumn("bucket", b)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT CAST(length(bin(greatest(n_chars, 1))) - 1 AS BIGINT) AS bucket,
+           | count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+           |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin))
+
   // --------------------------------------------------------------- embeddings ---
 
   private def embDims(s: SparkSession, dir: String): DataFrame =
@@ -1349,7 +1390,7 @@ object Queries {
     qDedupExact, qMinhash, qNearDup, qSimhash, qSimhashNearDup, qTextStats, qNgrams,
     qJaccard, qFingerprint, qQuality, qSubwords, qBandedLsh, qMultimodal, qLangId,
     qRoundtrip, qStreamHourly, qStreamSessions, qStreamDedup, qStreamAttribution,
-    qDomainCap, qRepetition, qDecontam,
+    qDomainCap, qRepetition, qDecontam, qSplit, qLengthHist,
     qEmbStats, qAnn, qCentroids, qIvf, qEmbNearDup, qQuantize,
     qContourGolden, qChopGolden)
 }
