@@ -186,6 +186,31 @@ object Queries {
            | ON d.elev >= b.lo AND d.elev <= b.hi
            | GROUP BY band ORDER BY band""".stripMargin))
 
+  private val qS2PrunedScan = Q(
+    "q18_s2_pruned_scan",
+    (s, dir) => {
+      // the storage-layout path end-to-end: write the docs S2-leaf-
+      // clustered, then serve a bbox through the cover-range pushdown
+      // (PushedFilters on the sorted s2 column prune row groups) + the
+      // exact lon/lat refilter. The oracle aggregates the same bbox from
+      // the raw table — layout must never change results.
+      val docs = withDocCoords(t(s, dir, "documents"))
+        .select("doc_id", "lon", "lat", "n_chars")
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q18_cluster").toString
+      SpatialJoin.writeClusteredS2(docs, tmp, "lon", "lat", partitions = 8)
+      val (lo0, la0, lo1, la1) = (6.3, 43.3, 6.7, 43.7)
+      s.read.parquet(tmp)
+        .filter(SpatialJoin.s2RangePredicate(lo0, la0, lo1, la1, level = 11))
+        .filter(col("lon").between(lo0, lo1) && col("lat").between(la0, la1))
+        .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 4).as("avg_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    },
+    Some(s"""SELECT count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+            | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            |FROM ($docCoordsSql)
+            |WHERE lon >= 6.3 AND lon <= 6.7 AND lat >= 43.3 AND lat <= 43.7""".stripMargin))
+
   private val qAsof = Q(
     "q17_asof_join",
     (s, dir) => {
@@ -1386,7 +1411,8 @@ object Queries {
   val all: Seq[Q] = Seq(
     qPricing, qNationRevenue, qTopOrders, qRollup, qSessions, qEventHours,
     qBrandRevenue, qRegionSupplier,
-    qGeoCell, qGeoPip, qGeoKnn, qGeoKnnBatch, qGeoTiles, qGeoBands, qS2Cells, qAsof,
+    qGeoCell, qGeoPip, qGeoKnn, qGeoKnnBatch, qGeoTiles, qGeoBands, qS2Cells,
+    qS2PrunedScan, qAsof,
     qDedupExact, qMinhash, qNearDup, qSimhash, qSimhashNearDup, qTextStats, qNgrams,
     qJaccard, qFingerprint, qQuality, qSubwords, qBandedLsh, qMultimodal, qLangId,
     qRoundtrip, qStreamHourly, qStreamSessions, qStreamDedup, qStreamAttribution,
