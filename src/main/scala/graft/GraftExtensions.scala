@@ -43,5 +43,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (FunctionIdentifier(s"hilbert_cell_$level"), info(s"hilbert_cell_$level"),
           (exprs: Seq[Expression]) => graft.functions.HilbertCell(exprs(0), exprs(1), level)))
     }
+    // s2_cell(lon, lat, level): level must fold to a constant at plan time
+    // (it parameterizes the generated kernel, like the hilbert variants)
+    ext.injectFunction(
+      (FunctionIdentifier("s2_cell"), info("s2_cell"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 3 && exprs(2).foldable,
+            "s2_cell(lon, lat, level): level must be a literal")
+          val lvl = exprs(2).eval().asInstanceOf[Number].intValue
+          graft.functions.S2CellIdExpr(exprs(0), exprs(1), lvl)
+        }))
   }
 }
