@@ -50,7 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => {
           require(exprs.length == 3 && exprs(2).foldable,
             "s2_cell(lon, lat, level): level must be a literal")
-          val lvl = exprs(2).eval().asInstanceOf[Number].intValue
+          val lvl = exprs(2).eval() match {
+            case n: Number => n.intValue
+            case d: org.apache.spark.sql.types.Decimal => d.toInt
+            case other => throw new IllegalArgumentException(
+              s"s2_cell(lon, lat, level): level must be an integer literal, got $other")
+          }
           graft.functions.S2CellIdExpr(exprs(0), exprs(1), lvl)
         }))
   }

@@ -92,7 +92,7 @@ object PipelineCli {
     // preference list is derived as [view{mask}?, srtm{res}]
     var srtmRes = 3
     var viewMask = 0
-    var formatFlag: Option[String] = None
+    var formatFlag: Option[(String, Boolean)] = None // (flag, isArgvLayer)
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -113,14 +113,20 @@ object PipelineCli {
         case "--rdp" => cfg = cfg.copy(rdpEpsilon = Some(args(i + 1).toDouble)); i += 2
         case "--cores" => cores = args(i + 1); i += 2
         // --gzip / --o5m / --pbf are mutually exclusive like the reference's
-        // argparse group (tests/test_cli.py:13-24) — within a layer: an
-        // argv flag silently overrides a config-file one (argv wins)
+        // argparse group (tests/test_cli.py:13-24) — per LAYER: two
+        // DIFFERENT format flags in the same layer (config file, or argv)
+        // conflict; an argv flag silently overrides a config-file one
+        // (argv wins); a repeated identical flag is fine (argparse only
+        // conflicts across group members, never with itself)
         case f @ ("--pbf" | "--o5m" | "--gzip") =>
-          if (i >= argvStart) {
-            formatFlag.foreach(prev => throw new IllegalArgumentException(
-              s"error: argument $f: not allowed with argument $prev"))
-            formatFlag = Some(f)
+          val layer = i >= argvStart
+          formatFlag match {
+            case Some((prev, prevLayer)) if prevLayer == layer && prev != f =>
+              throw new IllegalArgumentException(
+                s"error: argument $f: not allowed with argument $prev")
+            case _ => ()
           }
+          formatFlag = Some((f, layer))
           format = f match {
             case "--pbf" => graft.sinks.TileSink.PbfFormat
             case "--o5m" => graft.sinks.TileSink.O5mFormat

@@ -69,8 +69,11 @@ object AsOf {
     * (key, time-bucket) so a key's work spreads over its buckets, and a
     * second, far smaller pass over per-bucket summaries carries the
     * latest right value across bucket boundaries (segmented prefix scan).
-    * Costs one extra small shuffle; use when a key can hold ~10^8+ rows
-    * (the same reasoning as pipJoinSalted for dense cells).
+    * Costs one extra small shuffle plus a column-pruned (key, ts)-only
+    * second pass over the left side; the per-bucket summary table is
+    * persisted so the right side is scanned exactly once. Use when a key
+    * can hold ~10^8+ rows (the same reasoning as pipJoinSalted for dense
+    * cells).
     *
     * @param bucketWidth bucket size in the timestamp's units (seconds for
     *   timestamp columns, raw units for numeric ts columns). */
@@ -115,15 +118,25 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val staged = u.withColumn("__local", last(col("__rv"), ignoreNulls = true).over(wLocal))
     // pass 2 input: ONE row per (key, bucket) — latest right value of the
-    // bucket (max (t, rv) = the same tie-break as the window order)
+    // bucket (max (t, rv) = the same tie-break as the window order).
+    // Persisted: it is the SMALL summary table (|keys|x|buckets| rows) and
+    // is referenced twice below; without the persist each reference would
+    // re-scan the right input in full.
     val carryOuts = u.filter(col("__side") === 0)
       .groupBy("__k", "__b")
       .agg(max(struct(col("__t"), col("__rv"))).as("__co"))
-    // every bucket that EXISTS in the union needs a carry-in (left-only
-    // buckets included), from strictly earlier buckets of the same key
+      .persist()
+    // every bucket holding a LEFT row needs a carry-in from strictly
+    // earlier buckets of the same key. The bucket list comes from a
+    // COLUMN-PRUNED second pass over the left side's (key, ts) only —
+    // cheap next to the full-width window scan — unioned with the right
+    // summaries so intermediate right-only buckets propagate the carry.
+    val leftBuckets = l.select(col("__k"), bucketOf(col("__t")).as("__b")).distinct()
     val wCarry = Window.partitionBy("__k").orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carryIns = u.select("__k", "__b").distinct()
+    val carryIns = leftBuckets
+      .unionByName(carryOuts.select("__k", "__b"))
+      .distinct()
       .join(carryOuts, Seq("__k", "__b"), "left")
       .withColumn("__ci", last(col("__co"), ignoreNulls = true).over(wCarry))
       .select(col("__k"), col("__b"), col("__ci.__rv").as("__carry"))

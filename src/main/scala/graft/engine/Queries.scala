@@ -196,8 +196,10 @@ object Queries {
       // the raw table — layout must never change results.
       val docs = withDocCoords(t(s, dir, "documents"))
         .select("doc_id", "lon", "lat", "n_chars")
-      val tmp = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_q18_cluster").toString
+      // per-application dir: concurrent Verify runs (e.g. sf0.01 + sf0.1)
+      // must not clobber each other's table mid-read
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q18_cluster_${s.sparkContext.applicationId}").toString
       SpatialJoin.writeClusteredS2(docs, tmp, "lon", "lat", partitions = 8)
       val (lo0, la0, lo1, la1) = (6.3, 43.3, 6.7, 43.7)
       s.read.parquet(tmp)
@@ -841,12 +843,16 @@ object Queries {
       // looped generations score high). Per-doc grams never leave their
       // row until the (doc_id, gram-hash) count — raw grams stay out of
       // exchanges by hashing (same rule as q20).
-      val words = split(col("text"), " ")
+      // tokenize ONCE in a projection, then filter/gram off the array —
+      // filter and project are separate operators, so a split() in each
+      // would run the tokenizer twice per row
       val grams = transform(
-        sequence(lit(0), size(words) - 2),
-        i => xxhash64(concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
+        sequence(lit(0), size(col("words")) - 2),
+        i => xxhash64(concat_ws(" ",
+          element_at(col("words"), i + 1), element_at(col("words"), i + 2))))
       val counts = t(s, dir, "documents")
-        .filter(size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= 2)
         .select(col("doc_id"), explode(grams).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       counts
@@ -896,9 +902,10 @@ object Queries {
       // deterministic train/val/test split: a seeded LCG bucket per doc
       // (never random() — resumable, reproducible, joinable) with per-lang
       // stratification counts. Pure integer arithmetic, no hash-function
-      // parity risk between engines (doc_id * 2654435761 stays < 2^63,
-      // so neither engine wraps).
-      val bucket = (col("doc_id") * lit(2654435761L) + lit(12345L)) % lit(100L)
+      // parity risk between engines; doc_id is reduced mod 1e9+7 FIRST so
+      // the product stays < 2^63 for any 64-bit id (Spark would silently
+      // wrap above ~3.5e9, DuckDB would error).
+      val bucket = (col("doc_id") % lit(1000000007L) * lit(2654435761L) + lit(12345L)) % lit(100L)
       t(s, dir, "documents")
         .withColumn("split",
           when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
@@ -908,7 +915,7 @@ object Queries {
     },
     Some("""SELECT lang, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
            | count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
-           |FROM (SELECT *, (doc_id * 2654435761 + 12345) % 100 AS b FROM documents)
+           |FROM (SELECT *, (doc_id % 1000000007 * 2654435761 + 12345) % 100 AS b FROM documents)
            |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin))
 
   private val qLengthHist = Q(

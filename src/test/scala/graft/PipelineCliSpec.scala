@@ -95,12 +95,21 @@ class PipelineCliSpec extends AnyFunSuite {
     assert(e.getMessage == "error: argument --gzip: not allowed with argument --o5m")
     assertThrows[IllegalArgumentException](
       PipelineCli.parseOptions(Seq("--pbf", "--o5m")))
+    // a repeated IDENTICAL flag never conflicts (argparse groups only
+    // conflict across members, never with themselves)
+    val rep = PipelineCli.parseOptions(Seq("--pbf", "--pbf", "a.hgt"))
+    assert(rep.format == graft.sinks.TileSink.PbfFormat)
     // layered: a config-file `pbf` overridden by argv --o5m is NOT an error
     val cfg = writeCfg("pbf")
     val (expanded, argvStart) = PipelineCli.expandConfigLayered(
       Seq("--config", cfg, "--o5m", "b.hgt"))
     val opts = PipelineCli.parseOptions(expanded, argvStart)
     assert(opts.format == graft.sinks.TileSink.O5mFormat)
+    // ...but two DIFFERENT format flags inside the config file conflict
+    // (the config file is a layer too)
+    val bad = writeCfg("pbf", "gzip")
+    val (e2, a2) = PipelineCli.expandConfigLayered(Seq("--config", bad, "c.hgt"))
+    assertThrows[IllegalArgumentException](PipelineCli.parseOptions(e2, a2))
   }
 
   test("no config file: argv parses unchanged; missing --config fails loudly") {

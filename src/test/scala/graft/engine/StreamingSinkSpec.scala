@@ -159,8 +159,10 @@ class StreamingSinkSpec extends AnyFunSuite {
     } finally q.stop()
     val out = spark.table(qn).select("p_id", "view_us")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-    val t2us = java.sql.Timestamp.valueOf("2024-01-01 10:10:00").getTime * 1000L
-    val t3us = java.sql.Timestamp.valueOf("2024-01-01 20:00:00").getTime * 1000L
+    // explicit UTC instants: the stream casts in session TZ (UTC), while
+    // Timestamp.valueOf would use the JVM default zone — host-dependent
+    val t2us = java.time.Instant.parse("2024-01-01T10:10:00Z").toEpochMilli * 1000L
+    val t3us = java.time.Instant.parse("2024-01-01T20:00:00Z").toEpochMilli * 1000L
     assert(out == Seq((5L, t3us), (100L, t2us)), s"got $out")
     // the batch join over the same files WOULD match the late purchase —
     // the missing (4, view 1) pair is exactly the watermark's doing
