@@ -213,6 +213,30 @@ object Queries {
             |FROM ($docCoordsSql)
             |WHERE lon >= 6.3 AND lon <= 6.7 AND lat >= 43.3 AND lat <= 43.7""".stripMargin))
 
+  private val qSeqPack = Q(
+    "q19_seq_pack",
+    (s, dir) => {
+      // sequence packing (engine/Pack.scala): docs laid out by doc_id,
+      // token stream (n_chars as the proxy count) cut every 4096 — chunk
+      // membership from a SEGMENTED two-pass prefix sum, never a global
+      // single-task window. The oracle runs the naive global-window SQL:
+      // identical arithmetic, fine single-threaded at oracle scale.
+      Pack.chunkIds(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", capacity = 4096L, bandWidth = 64L)
+        .groupBy("chunk")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("chunk")
+    },
+    Some("""SELECT CAST(pre // 4096 AS BIGINT) AS chunk, count(*) AS n_docs,
+           | CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+           | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM (SELECT doc_id, n_chars, coalesce(sum(n_chars) OVER
+           |  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           | FROM documents)
+           |GROUP BY 1 ORDER BY chunk""".stripMargin))
+
   private val qAsof = Q(
     "q17_asof_join",
     (s, dir) => {
@@ -1419,7 +1443,7 @@ object Queries {
     qPricing, qNationRevenue, qTopOrders, qRollup, qSessions, qEventHours,
     qBrandRevenue, qRegionSupplier,
     qGeoCell, qGeoPip, qGeoKnn, qGeoKnnBatch, qGeoTiles, qGeoBands, qS2Cells,
-    qS2PrunedScan, qAsof,
+    qS2PrunedScan, qSeqPack, qAsof,
     qDedupExact, qMinhash, qNearDup, qSimhash, qSimhashNearDup, qTextStats, qNgrams,
     qJaccard, qFingerprint, qQuality, qSubwords, qBandedLsh, qMultimodal, qLangId,
     qRoundtrip, qStreamHourly, qStreamSessions, qStreamDedup, qStreamAttribution,

@@ -176,6 +176,28 @@ class PlanSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
+  test("q19 sequence packing never runs a global single-partition window over the data") {
+    val q = Queries.all.find(_.name == "q19_seq_pack").get
+    val df = q.impl(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // the DATA window is partitioned by band; the only unpartitioned
+    // window runs over the per-band summary (one row per band)
+    assert(p.contains("windowspecdefinition(__band"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // offsets join back broadcast
+    // and the packing math is exact vs a driver-side fold
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().sortBy(_._1)
+    var run = 0L
+    val expect = rows.map { case (id, n) => val c = run / 4096L; run += n; (id, c) }.toMap
+    val got = Pack.chunkIds(
+      spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars"),
+      "doc_id", "n_chars", 4096L, 64L)
+      .select("doc_id", "chunk").as[(Long, Long)].collect().toMap
+    assert(got == expect)
+  }
+
   test("q45 domain cap runs a partial top-k before the exchange (WindowGroupLimit)") {
     val q = Queries.all.find(_.name == "q45_domain_cap").get
     val df = q.impl(spark, dir)
