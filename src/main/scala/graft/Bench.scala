@@ -25,10 +25,12 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    // Locale.ROOT via Fmt: this line is parsed as JSON by the driver — a
+    // comma-decimal default locale would corrupt it
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + graft.core.Fmt("%.3f", v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${graft.core.Fmt("%.3f", total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,6 +15,8 @@ import java.nio.file.{Files, Paths}
   */
 object ContourCli {
   def main(args: Array[String]): Unit = {
+    // dot-decimal everywhere: diagnostics/tables are parsed downstream
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     if (args.isEmpty) { System.err.println("usage: ContourCli <file.hgt> [--step N] ..."); sys.exit(2) }
     val file = args(0)
     var cfg = JobConfig(maxNodesPerTile = 1000000L, maxNodesPerWay = 2000, rdpEpsilon = None)

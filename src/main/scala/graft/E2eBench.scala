@@ -43,6 +43,8 @@ object E2eBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // dot-decimal everywhere: diagnostics/tables are parsed downstream
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val copies = sys.env.getOrElse("SPARK_GRAFT_E2E_COPIES", "15").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_E2E_REPS", "2").toInt

@@ -94,7 +94,7 @@ object PipelineCli {
     var viewMask = 0
     var formatFlag: Option[(String, Boolean)] = None // (flag, isArgvLayer)
     var i = 0
-    while (i < args.length) {
+    try while (i < args.length) {
       args(i) match {
         case "--output-prefix" => // reference -o: "<prefix>_" on every tile name
           cfg = cfg.copy(outputPrefix = Some(args(i + 1))); i += 2
@@ -180,6 +180,12 @@ object PipelineCli {
         case f if !f.startsWith("--") => files += f; i += 1
         case other => System.err.println(s"unknown option: $other"); sys.exit(2)
       }
+    } catch {
+      // a valued flag in final position: fail like argparse, not with a
+      // raw ArrayIndexOutOfBoundsException stack trace
+      case _: ArrayIndexOutOfBoundsException =>
+        throw new IllegalArgumentException(
+          s"error: argument ${args.last}: expected one argument")
     }
     // reference default-source derivation (cli.py:511-517): no explicit
     // --source/--data-source and no input files -> [view{mask}?, srtm{res}].
@@ -196,6 +202,8 @@ object PipelineCli {
   }
 
   def main(args: Array[String]): Unit = {
+    // dot-decimal everywhere: diagnostics/tables are parsed downstream
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     // before the arity check, so the natural `PipelineCli --version` works
     if (args.contains("--version")) {
       println("graft 0.3 (pyhgtmap-compatible surface)"); return

@@ -222,6 +222,8 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // dot-decimal everywhere: diagnostics/tables are parsed downstream
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "64000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
     sys.env.get("SPARK_GRAFT_BENCH_SINGLE") match {

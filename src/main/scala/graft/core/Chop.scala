@@ -141,7 +141,11 @@ object Chop {
     def rec(s: Slice): Unit = {
       val gv = view(s)
       if (allVoid(gv)) return
-      if (maxNodesPerTile != 0 && estimNumOfNodes(gv, step) > maxNodesPerTile) {
+      // s.rows <= 2 cannot split further: the upper chop of a 2-row slice
+      // is the identical slice (chopLatIndex = 1, +1 overlap row), so
+      // recursing would never terminate — emit the minimal tile instead,
+      // even when its estimate still exceeds the limit
+      if (s.rows > 2 && maxNodesPerTile != 0 && estimNumOfNodes(gv, step) > maxNodesPerTile) {
         val chopLatIndex = (s.rows / 2.0).toInt
         val chopLat = s.bbox.maxLat - chopLatIndex * latInc
         val lower = Slice(

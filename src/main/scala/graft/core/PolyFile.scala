@@ -33,7 +33,8 @@ object PolyFile {
     }
     val lons = polygons.flatMap(_.grouped(2).map(_(0)))
     val lats = polygons.flatMap(_.grouped(2).map(_(1)))
-    val area = f"${lons.min}%.7f:${lats.min}%.7f:${lons.max}%.7f:${lats.max}%.7f"
+    // Locale.ROOT: this string is re-parsed with toDouble (dot-decimal)
+    val area = Fmt("%.7f:%.7f:%.7f:%.7f", lons.min, lats.min, lons.max, lats.max)
     Parsed(area, polygons.toSeq)
   }
 

@@ -196,10 +196,11 @@ object Queries {
       // the raw table — layout must never change results.
       val docs = withDocCoords(t(s, dir, "documents"))
         .select("doc_id", "lon", "lat", "n_chars")
-      // per-application dir: concurrent Verify runs (e.g. sf0.01 + sf0.1)
-      // must not clobber each other's table mid-read
+      // one dir PER INPUT SCALE, not per application: concurrent Verify
+      // runs at different sf stay isolated, while repeated runs reuse
+      // (overwrite) the same dir instead of leaking a table per run
       val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q18_cluster_${s.sparkContext.applicationId}").toString
+        s"graft_q18_cluster_${math.abs(dir.hashCode)}").toString
       SpatialJoin.writeClusteredS2(docs, tmp, "lon", "lat", partitions = 8)
       val (lo0, la0, lo1, la1) = (6.3, 43.3, 6.7, 43.7)
       s.read.parquet(tmp)

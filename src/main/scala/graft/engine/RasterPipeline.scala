@@ -245,25 +245,37 @@ object RasterPipeline {
       }
   }
 
-  /** Deterministic global id offsets: per-tile counts -> driver prefix sum
-    * in (key, tileIdx) order. The reference only guarantees non-overlap
-    * (tests/hgt/test_processor.py:105-130); this is strictly stronger. */
-  def idOffsets(contoursDs: Dataset[ContourRow], cfg: JobConfig): Map[(String, Int), TileOffsets] = {
-    val counts = contoursDs
+  /** Per-tile (nodes, ways) counts collected to the driver — tiny: one
+    * row per tile, never raster data. */
+  private def tileCounts(contoursDs: Dataset[ContourRow]): Seq[((String, Int), (Long, Long))] =
+    contoursDs
       .groupBy("key", "tileIdx")
       .agg(sum("nbNodes").as("nodes"), count(lit(1)).as("ways"))
       .collect()
       .map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
-      .sortBy(_._1)
+      .toSeq
+
+  /** Deterministic prefix sum over per-tile counts in (key, tileIdx)
+    * order — THE id contract byte-identical resume depends on; both the
+    * fresh-run and resume paths must walk it identically, so they share
+    * this one implementation. */
+  private def prefixSum(
+      counts: Seq[((String, Int), (Long, Long))], cfg: JobConfig): Map[(String, Int), TileOffsets] = {
     var nodeId = cfg.startNodeId
     var wayId = cfg.startWayId
-    counts.map { case (k, (nodes, ways)) =>
+    counts.sortBy(_._1).map { case (k, (nodes, ways)) =>
       val off = TileOffsets(nodeId, wayId)
       nodeId += nodes
       wayId += ways
       k -> off
     }.toMap
   }
+
+  /** Deterministic global id offsets: per-tile counts -> driver prefix sum
+    * in (key, tileIdx) order. The reference only guarantees non-overlap
+    * (tests/hgt/test_processor.py:105-130); this is strictly stronger. */
+  def idOffsets(contoursDs: Dataset[ContourRow], cfg: JobConfig): Map[(String, Int), TileOffsets] =
+    prefixSum(tileCounts(contoursDs), cfg)
 
   /** Write one OSM XML file per tile under outDir. Returns files written. */
   def writeOsmXml(
@@ -423,23 +435,11 @@ object RasterPipeline {
     val todo = tilesAll.filter(t => !bcCommitted.value.contains((t.key, t.tileIdx)))
     val cs = contours(todo, cfg).persist()
     try {
-      val freshCounts = cs
-        .groupBy("key", "tileIdx")
-        .agg(sum("nbNodes").as("nodes"), count(lit(1)).as("ways"))
-        .collect()
-        .map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
-        .toMap
+      val freshCounts = tileCounts(cs).toMap
       val committedCounts = committed.map(c => ((c.key, c.tileIdx), (c.nodes, c.ways))).toMap
-      // merged deterministic prefix sum over ALL tiles in (key, tileIdx) order
-      val merged = (freshCounts ++ committedCounts).toSeq.sortBy(_._1)
-      var nodeId = cfg.startNodeId
-      var wayId = cfg.startWayId
-      val offsets = merged.map { case (k, (nodes, waysN)) =>
-        val off = TileOffsets(nodeId, wayId)
-        nodeId += nodes
-        wayId += waysN
-        k -> off
-      }.toMap
+      // merged deterministic prefix sum over ALL tiles (committed counts
+      // win for tiles present in both) — same walk as idOffsets
+      val offsets = prefixSum((freshCounts ++ committedCounts).toSeq, cfg)
       val files = writeOsmXml(cs, offsets, outDir, cfg, commit = true, format = format)
       // metrics + lineage tables
       val after = Checkpoint.readCommits(outDir)
@@ -463,13 +463,15 @@ object RasterPipeline {
     graft.core.Fs.mkdirs(outDir)
     val voidMax = cfg.voidMax
     val smoothRatio = cfg.smoothRatio
+    val feetSteps = cfg.feetSteps // --feet applies to xyz dumps too (the
+    // reference converts at decode, file.py:484-485, before plotData)
     val prefix = cfg.outputPrefix.getOrElse("")
     val files = tilesDs
       .repartitionByRange(col("key"), col("tileIdx"))
       .sortWithinPartitions("path", "tileIdx")
       .mapPartitions { it =>
         it.map { tr =>
-          val g = GridCache.grid(tr.path, voidMax, smoothRatio, false)
+          val g = GridCache.grid(tr.path, voidMax, smoothRatio, feetSteps)
           val name = graft.sinks.TileSink.fileName(
             BBox(tr.minLon, tr.minLat, tr.maxLon, tr.maxLat), tr.key,
             graft.sinks.TileSink.XyzFormat, prefix)
@@ -485,7 +487,7 @@ object RasterPipeline {
               while (c < tr.cols) {
                 val lon = tr.minLon + c * tr.lonInc
                 val z = g.values((tr.rowOff + r) * tr.fullCols + tr.colOff + c).toInt
-                w.write(f"$lon%.7f $lat%.7f $z%d\n")
+                w.write(graft.core.Fmt("%.7f %.7f %d\n", lon, lat, z))
                 c += 1
               }
               r += 1

@@ -11,15 +11,18 @@ import java.nio.charset.StandardCharsets
 final case class PreparedWay(firstNodeId: Long, nbNodes: Long, closed: Boolean, elevation: Long)
 
 object OsmXml {
-  /** `<bounds .../>` tag (reference output/factory.py:68-78). */
+  import graft.core.Fmt
+  /** `<bounds .../>` tag (reference output/factory.py:68-78). Locale.ROOT
+    * via Fmt: coordinates must be dot-decimal on every host. */
   def boundsTag(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double): String =
-    f"""<bounds minlat="$minLat%.7f" minlon="$minLon%.7f" maxlat="$maxLat%.7f" maxlon="$maxLon%.7f"/>"""
+    Fmt("""<bounds minlat="%.7f" minlon="%.7f" maxlat="%.7f" maxlon="%.7f"/>""",
+      minLat, minLon, maxLat, maxLon)
 
   /** Tile output name (reference hgt/__init__.py:16-17, output/factory.py:18-62). */
   def tileFileName(
       minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
       prefix: String = "", suffix: String = ""): String =
-    f"${prefix}lon$minLon%.2f_$maxLon%.2flat$minLat%.2f_$maxLat%.2f$suffix%s.osm"
+    Fmt("%slon%.2f_%.2flat%.2f_%.2f%s.osm", prefix, minLon, maxLon, minLat, maxLat, suffix)
 }
 
 final class OsmXmlWriter(
@@ -37,7 +40,7 @@ final class OsmXmlWriter(
 
   // preamble (reference osmUtil.py:91-97)
   write("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n")
-  write(f"""<osm version="$osmVersion%.1f" generator="$generator%s">%n""")
+  write(graft.core.Fmt("""<osm version="%.1f" generator="%s">""", osmVersion, generator) + "\n")
   write(boundsTag + "\n")
 
   /** Write one path's nodes; returns (nextNodeId, way). Mirrors _makePoints
@@ -52,7 +55,8 @@ final class OsmXmlWriter(
     var id = startNodeId
     while (i < emitted) {
       sb.append("<node id=\"").append(id)
-        .append(f"""" lat="${coords(2 * i + 1)}%.7f" lon="${coords(2 * i)}%.7f"""")
+        .append(graft.core.Fmt("""" lat="%.7f" lon="%.7f"""",
+          coords(2 * i + 1), coords(2 * i)))
         .append(versionString).append(nodeTimestampString).append("/>")
       if (i < emitted - 1) sb.append('\n')
       id += 1

@@ -69,21 +69,26 @@ object TileSink {
   }
 }
 
-/** PBF tile sink: dense-node blocks of <=8000 nodes (the reference chunks
-  * via osmium the same way, pbfUtil.py:110-148), ways at finish. */
-final class PbfTileSink(out: java.io.OutputStream, bbox: BBox) extends TileSink {
-  private val w = new PbfWriter(out, bbox)
+/** Shared chunked-node state machine of the binary sinks (pbf/o5m):
+  * paths append their quantized nodes to a pending buffer; a buffer past
+  * `chunkSize` flushes as one node block to the format writer; ways write
+  * at finish. Closed paths drop their repeated last point — the way will
+  * close by re-using the first id (same contract as the XML writer). */
+abstract class ChunkedNodeSink(chunkSize: Int) extends TileSink {
+  protected def writeNodeChunk(startId: Long, nodes: collection.Seq[(Long, Long)]): Unit
+  protected def writeWaysAndClose(ways: Seq[PreparedWay], startWayId: Long, classifier: Long => String): Unit
+
   private val pending = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
   private var chunkStartId = -1L
   private var nextId = -1L
 
   private def flushChunk(): Unit = if (pending.nonEmpty) {
-    w.writeDenseNodes(chunkStartId, pending)
+    writeNodeChunk(chunkStartId, pending)
     pending.clear()
     chunkStartId = nextId
   }
 
-  def writePath(coords: Array[Double], startNodeId: Long, elevation: Long): (Long, PreparedWay) = {
+  final def writePath(coords: Array[Double], startNodeId: Long, elevation: Long): (Long, PreparedWay) = {
     if (chunkStartId < 0) { chunkStartId = startNodeId; nextId = startNodeId }
     val n = coords.length / 2
     val closed = n >= 2 && coords(0) == coords(2 * (n - 1)) && coords(1) == coords(2 * (n - 1) + 1)
@@ -94,12 +99,23 @@ final class PbfTileSink(out: java.io.OutputStream, bbox: BBox) extends TileSink 
       i += 1
     }
     nextId += emitted
-    if (pending.size > 8000) flushChunk()
+    if (pending.size > chunkSize) flushChunk()
     (nextId, PreparedWay(nextId - emitted, emitted.toLong, closed, elevation))
   }
 
-  def finish(ways: Seq[PreparedWay], startWayId: Long, classifier: Long => String): Unit = {
+  final def finish(ways: Seq[PreparedWay], startWayId: Long, classifier: Long => String): Unit = {
     flushChunk()
+    writeWaysAndClose(ways, startWayId, classifier)
+  }
+}
+
+/** PBF tile sink: dense-node blocks of <=8000 nodes (the reference chunks
+  * via osmium the same way, pbfUtil.py:110-148), ways at finish. */
+final class PbfTileSink(out: java.io.OutputStream, bbox: BBox) extends ChunkedNodeSink(8000) {
+  private val w = new PbfWriter(out, bbox)
+  protected def writeNodeChunk(startId: Long, nodes: collection.Seq[(Long, Long)]): Unit =
+    w.writeDenseNodes(startId, nodes)
+  protected def writeWaysAndClose(ways: Seq[PreparedWay], startWayId: Long, classifier: Long => String): Unit = {
     w.writeWays(ways, startWayId, classifier)
     w.done()
   }
@@ -121,35 +137,11 @@ final class OsmXmlTileSink(out: java.io.OutputStream, bbox: BBox,
 /** o5m tile sink: buffers quantized node coords into <=32000-node chunks
   * (reference o5mUtil writeNodes, :273-307). */
 final class O5mTileSink(out: java.io.OutputStream, bbox: BBox,
-    fileTimestamp: Long = 0L, writeTimestamp: Boolean = false) extends TileSink {
+    fileTimestamp: Long = 0L, writeTimestamp: Boolean = false) extends ChunkedNodeSink(32000) {
   private val w = new O5mWriter(out, bbox, fileTimestamp, writeTimestamp)
-  private val pending = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-  private var chunkStartId = -1L
-  private var nextId = -1L
-
-  private def flushChunk(): Unit = if (pending.nonEmpty) {
-    w.writeNodes(pending, chunkStartId)
-    pending.clear()
-    chunkStartId = nextId
-  }
-
-  def writePath(coords: Array[Double], startNodeId: Long, elevation: Long): (Long, PreparedWay) = {
-    if (chunkStartId < 0) { chunkStartId = startNodeId; nextId = startNodeId }
-    val n = coords.length / 2
-    val closed = n >= 2 && coords(0) == coords(2 * (n - 1)) && coords(1) == coords(2 * (n - 1) + 1)
-    val emitted = if (closed) n - 1 else n
-    var i = 0
-    while (i < emitted) {
-      pending += ((O5m.quantize(coords(2 * i)), O5m.quantize(coords(2 * i + 1))))
-      i += 1
-    }
-    nextId += emitted
-    if (pending.size > 32000) flushChunk()
-    (nextId, PreparedWay(nextId - emitted, emitted.toLong, closed, elevation))
-  }
-
-  def finish(ways: Seq[PreparedWay], startWayId: Long, classifier: Long => String): Unit = {
-    flushChunk()
+  protected def writeNodeChunk(startId: Long, nodes: collection.Seq[(Long, Long)]): Unit =
+    w.writeNodes(nodes, startId)
+  protected def writeWaysAndClose(ways: Seq[PreparedWay], startWayId: Long, classifier: Long => String): Unit = {
     w.writeWays(ways, startWayId, classifier)
     w.done()
   }

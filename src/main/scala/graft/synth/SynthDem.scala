@@ -40,9 +40,17 @@ object SynthDem {
         }
         r += 1
       }
-      val tmp = Paths.get(dir, s".$key.tmp")
+      // per-attempt unique tmp + tolerant publish: concurrent writers of
+      // the same key (parallel bench/verify runs sharing a cache) must
+      // not truncate each other's in-flight tmp or crash on a lost move —
+      // the same hardening ArchiveSource/UriTemplateSource carry
+      val tmp = Paths.get(dir, s".$key.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       Files.write(tmp, bytes)
-      Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException | _: java.nio.file.NoSuchFileException =>
+          Files.deleteIfExists(tmp) // another writer published identical content
+      }
     }
     path.toString
   }
