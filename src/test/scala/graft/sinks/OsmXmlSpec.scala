@@ -96,4 +96,21 @@ class OsmXmlSpec extends AnyFunSuite {
     assert(OsmXml.boundsTag(6, 43, 7, 44) ==
       """<bounds minlat="43.0000000" minlon="6.0000000" maxlat="44.0000000" maxlon="7.0000000"/>""")
   }
+
+  test("byte-contract formatting is dot-decimal under a comma-decimal locale") {
+    // regression for the f-interpolator locale bug: on de_DE JVMs the
+    // default-locale formatter prints 43,0000000, corrupting OSM XML,
+    // tile filenames, .poly area strings and the bench JSON
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.GERMANY)
+    try {
+      assert(OsmXml.boundsTag(6, 43, 7, 44).contains("minlat=\"43.0000000\""))
+      assert(OsmXml.tileFileName(6.0, 43.0, 7.0, 43.5) == "lon6.00_7.00lat43.00_43.50.osm")
+      assert(graft.core.Fmt("%.3f", 1.5) == "1.500")
+      val poly = graft.core.PolyFile.parse("area\n1\n\t6.0 43.0\n\t7.0 43.0\n\t6.5 44.0\nEND\nEND\n")
+      assert(poly.areaString == "6.0000000:43.0000000:7.0000000:44.0000000")
+      // the area string must round-trip through toDouble (PipelineCli does)
+      poly.areaString.split(':').foreach(_.toDouble)
+    } finally java.util.Locale.setDefault(prev)
+  }
 }
