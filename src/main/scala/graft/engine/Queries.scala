@@ -963,6 +963,99 @@ object Queries {
            | count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
            |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin))
 
+  /** DuckDB twin of Graph.pageRank over the synthetic link graph: the
+    * fixed iteration count unrolls into one (contrib, rank) CTE pair per
+    * round — all integer arithmetic, so no summation-order drift. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val base = "(1000000000000 // (SELECT cnt FROM n))"
+    val head =
+      s"""n AS (SELECT count(*) AS cnt FROM documents),
+         |e AS (SELECT doc_id AS src, (doc_id * 7 + k * 13 + 1) % (SELECT cnt FROM n) AS dst
+         |      FROM documents, LATERAL unnest(generate_series(0, 2)) AS t(k)),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT doc_id AS id, CAST($base AS BIGINT) AS rank,
+         |        CAST(coalesce(od.outdeg, 0) AS BIGINT) AS outdeg
+         |       FROM documents LEFT JOIN od ON doc_id = od.src)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT dst, CAST(sum(rank // outdeg) AS BIGINT) AS s
+         |        FROM e JOIN r${i - 1} ON e.src = r${i - 1}.id GROUP BY dst),
+         |r$i AS (SELECT r${i - 1}.id,
+         |         CAST(15 * $base // 100 + 85 * coalesce(c$i.s, 0) // 100 AS BIGINT) AS rank,
+         |         r${i - 1}.outdeg
+         |        FROM r${i - 1} LEFT JOIN c$i ON r${i - 1}.id = c$i.dst)""".stripMargin
+    }
+    s"WITH ${(head +: rounds).mkString(",\n")}\nSELECT id, rank FROM r$iters ORDER BY id"
+  }
+
+  private val qPageRank = Q(
+    "q52_pagerank",
+    (s, dir) => {
+      // domain-ranking shape (Graph.pageRank): deterministic synthetic
+      // link graph over the docs (3 out-links per doc), 5 integer power
+      // iterations — each round one equi-join + one agg, exact mass
+      // accounting, no float summation order anywhere
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val nodes = docs.select(col("doc_id").as("id"))
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array((0 to 2).map(k =>
+            (col("doc_id") * 7 + k * 13 + 1) % n): _*)).as("dst"))
+      Graph.pageRank(nodes, edges, iters = 5).orderBy("id")
+    },
+    Some(pageRankOracleSql(5)))
+
+  /** DuckDB twin of Graph.connectedComponents over the q22 pair graph. */
+  private def dupClustersOracleSql(iters: Int): String = {
+    val aggs = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
+      s"min((h * $a + $b) % $P) AS mh$j"
+    }.mkString(", ")
+    val head =
+      s"""sig AS (SELECT doc_id, $aggs FROM ($shingles8Sql) GROUP BY doc_id),
+         |e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+         |      FROM sig a JOIN sig b
+         |       ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.mh3 = b.mh3
+         |       AND a.doc_id < b.doc_id),
+         |u AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst AS a, src AS b FROM e),
+         |l0 AS (SELECT doc_id AS id, doc_id AS component FROM documents)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""m$i AS (SELECT a, min(component) AS nmin FROM u JOIN l${i - 1} ON u.b = l${i - 1}.id GROUP BY a),
+         |l$i AS (SELECT l${i - 1}.id,
+         |         least(l${i - 1}.component, coalesce(m$i.nmin, l${i - 1}.component)) AS component
+         |        FROM l${i - 1} LEFT JOIN m$i ON l${i - 1}.id = m$i.a)""".stripMargin
+    }
+    s"""WITH ${(head +: rounds).mkString(",\n")}
+       |SELECT component, count(*) AS n_docs, min(id) AS min_doc, max(id) AS max_doc
+       |FROM l$iters GROUP BY component HAVING count(*) > 1 ORDER BY component""".stripMargin
+  }
+
+  private val qDupClusters = Q(
+    "q53_dup_clusters",
+    (s, dir) => {
+      // the conclusion of the near-dup pipeline: LSH candidate pairs
+      // (q22's band join) become an undirected graph; min-label
+      // propagation (Graph.connectedComponents, 6 rounds >> candidate
+      // component diameters) yields one canonical cluster id per doc.
+      // Output: the multi-doc clusters.
+      val sh = shingles8(s, dir)
+      val aggs = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
+        min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"mh$j")
+      }
+      val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val keys = Seq("mh0", "mh1", "mh2", "mh3")
+      val edges = sig.toDF("src" +: keys: _*)
+        .join(sig.toDF("dst" +: keys: _*), keys)
+        .filter(col("src") < col("dst"))
+        .select("src", "dst")
+      val nodes = t(s, dir, "documents").select(col("doc_id").as("id"))
+      Graph.connectedComponents(nodes, edges, iters = 6)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_docs"), min("id").as("min_doc"), max("id").as("max_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("component")
+    },
+    Some(dupClustersOracleSql(6)))
+
   // --------------------------------------------------------------- embeddings ---
 
   private def embDims(s: SparkSession, dir: String): DataFrame =
@@ -1448,7 +1541,7 @@ object Queries {
     qDedupExact, qMinhash, qNearDup, qSimhash, qSimhashNearDup, qTextStats, qNgrams,
     qJaccard, qFingerprint, qQuality, qSubwords, qBandedLsh, qMultimodal, qLangId,
     qRoundtrip, qStreamHourly, qStreamSessions, qStreamDedup, qStreamAttribution,
-    qDomainCap, qRepetition, qDecontam, qSplit, qLengthHist,
+    qDomainCap, qRepetition, qDecontam, qSplit, qLengthHist, qPageRank, qDupClusters,
     qEmbStats, qAnn, qCentroids, qIvf, qEmbNearDup, qQuantize,
     qContourGolden, qChopGolden)
 }

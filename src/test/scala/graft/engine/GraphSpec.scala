@@ -1,0 +1,58 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Iterative graph operators: integer PageRank against a driver-side
+  * re-implementation, connected components against union-find. */
+class GraphSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]").appName("graph-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  test("integer PageRank equals the sequential reference computation") {
+    import spark.implicits._
+    val n = 60
+    val edgeSeq = (0 until n).flatMap(i => Seq(0, 1, 2).map(k => (i.toLong, ((i * 7 + k * 13 + 1) % n).toLong)))
+    val got = Graph.pageRank(
+      (0 until n).map(_.toLong).toDF("id"), edgeSeq.toDF("src", "dst"), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    // driver-side exact integer reference
+    val base = 1000000000000L / n
+    val out = edgeSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = (0 until n).map(i => i.toLong -> base).toMap
+    (1 to 5).foreach { _ =>
+      val s = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edgeSeq.foreach { case (src, dst) => s(dst) += r(src) / out(src) }
+      r = r.map { case (id, _) => id -> (15L * base / 100L + 85L * s(id) / 100L) }
+    }
+    assert(got == r)
+    // total mass stays within rounding loss of the initial mass
+    assert(math.abs(got.values.sum - n * base) < n * 200L)
+  }
+
+  test("connected components equals union-find, incl. isolated nodes and chains") {
+    import spark.implicits._
+    val nodes = (0L to 20L).toDF("id")
+    // two chains, one triangle, isolated nodes
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 11L),
+      (15L, 16L), (16L, 17L), (17L, 15L)).toDF("src", "dst")
+    val got = Graph.connectedComponents(nodes, edges, iters = 6)
+      .as[(Long, Long)].collect().toMap
+    val parent = scala.collection.mutable.Map((0L to 20L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 11L),
+      (15L, 16L), (16L, 17L), (17L, 15L)).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val expect = (0L to 20L).map { i =>
+      // canonical label = min member of the component
+      val root = find(i)
+      val members = (0L to 20L).filter(find(_) == root)
+      i -> members.min
+    }.toMap
+    assert(got == expect)
+  }
+}
