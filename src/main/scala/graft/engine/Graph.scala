@@ -43,6 +43,7 @@ object Graph {
         .select(col("id"),
           (lit(15L * base / 100L) + expr("85 * coalesce(s, 0L) DIV 100")).as("rank"),
           col("outdeg"))
+        .localCheckpoint(true) // truncate the per-iteration plan nesting
     }
     ranks.select("id", "rank")
   }
@@ -51,7 +52,10 @@ object Graph {
     * node id; each round every node takes the min of its own label and
     * its neighbours' (edges treated as undirected). A fixed `iters`
     * bounds the plan; components with diameter < iters converge to their
-    * minimum member id. Returns (id, component). */
+    * minimum member id — the right tool for near-dup clusters (tiny
+    * diameters). For arbitrary-diameter graphs use
+    * `connectedComponentsStar`, which converges in O(log n) rounds.
+    * Returns (id, component). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     // undirected: propagate along both directions of every edge
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
@@ -64,7 +68,73 @@ object Graph {
       labels = labels
         .join(neighborMin, labels("id") === neighborMin("a"), "left")
         .select(col("id"), least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint(true) // truncate the per-iteration plan nesting
     }
     labels
+  }
+
+  /** Scale-path connected components: the published alternating
+    * large-star / small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") on DataFrames. Each round
+    * rewires the parent-pointer forest —
+    *   large-star: every node's LARGER neighbours attach to its minimum
+    *   neighbour-or-self; small-star: smaller-or-equal neighbours do —
+    * and the edge set converges to a star per component in O(log n)
+    * rounds for ANY diameter (a 10^9-node chain needs ~30 rounds, where
+    * label propagation would need 10^9). Rounds run until the parent
+    * assignment reaches a fixpoint (checked via a cheap count, bounded
+    * by `maxRounds`). Returns (id, component = min member id). */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val spark = nodes.sparkSession
+    // parent-pointer multiset, seeded with both edge directions plus a
+    // self-loop per node (keeps isolated nodes in the computation)
+    var pairs = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .unionByName(nodes.select(col("id").as("u"), col("id").as("v")))
+      .distinct()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // large-star over the SYMMETRIZED neighbourhoods (the published
+      // operator works on undirected N(u)): every neighbour v > u
+      // attaches to m(u) = min(N(u) ∪ {u})
+      val sym = pairs
+        .unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+      // small-star over edges ORIENTED from their larger endpoint:
+      // every (smaller) neighbour attaches to m(u)
+      val oriented = large.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mins2 = oriented.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // localCheckpoint: materialize AND truncate the plan each round —
+      // without it the logical tree nests per iteration and analysis
+      // blows up long before the data does (the standard iterative-
+      // DataFrame pattern)
+      val next = oriented.join(mins2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins2.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint test: (count, order-independent xor-fingerprint) of the
+      // pair SET — one cheap agg per round instead of a set-difference
+      // join (bit_xor never overflows, unlike a hash SUM under ANSI)
+      def sig(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).collect()(0)
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      converged = sig(next) == sig(pairs)
+      pairs = next
+      round += 1
+    }
+    // at the fixpoint every node points at its component minimum
+    pairs.groupBy("u").agg(min("v").as("component"))
+      .select(col("u").as("id"), col("component"))
   }
 }

@@ -33,6 +33,23 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - n * base) < n * 200L)
   }
 
+  test("star connected components handles a 120-node chain in O(log n) rounds") {
+    import spark.implicits._
+    // a long chain (diameter 119) shuffled together with a clique and
+    // isolated nodes: fixed-round label propagation would need 119
+    // rounds; the large-star/small-star form converges in ~log n
+    val chain = (0 until 119).map(i => (i.toLong, (i + 1).toLong))
+    val clique = for (a <- 200 to 205; b <- (a + 1) to 205) yield (a.toLong, b.toLong)
+    val edges = (chain ++ clique).toDF("src", "dst")
+    val nodes = ((0L to 119L) ++ (200L to 205L) ++ Seq(300L, 301L)).toDF("id")
+    val got = Graph.connectedComponentsStar(nodes, edges, maxRounds = 15)
+      .as[(Long, Long)].collect().toMap
+    (0L to 119L).foreach(i => assert(got(i) == 0L, s"chain node $i"))
+    (200L to 205L).foreach(i => assert(got(i) == 200L))
+    assert(got(300L) == 300L && got(301L) == 301L)
+    assert(got.size == 128)
+  }
+
   test("connected components equals union-find, incl. isolated nodes and chains") {
     import spark.implicits._
     val nodes = (0L to 20L).toDF("id")
