@@ -1033,9 +1033,12 @@ object Queries {
     "q53_dup_clusters",
     (s, dir) => {
       // the conclusion of the near-dup pipeline: LSH candidate pairs
-      // (q22's band join) become an undirected graph; min-label
-      // propagation (Graph.connectedComponents, 6 rounds >> candidate
-      // component diameters) yields one canonical cluster id per doc.
+      // (q22's band join) become an undirected graph; the SCALE-PATH
+      // star algorithm (Graph.connectedComponentsStar, O(log n) rounds
+      // at any diameter) yields one canonical cluster id per doc. The
+      // oracle runs 6-round min-label propagation: identical here
+      // because full-signature candidate components are cliques
+      // (diameter 1), the same full-probe-equality argument as q33/q34.
       // Output: the multi-doc clusters.
       val sh = shingles8(s, dir)
       val aggs = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
@@ -1048,7 +1051,7 @@ object Queries {
         .filter(col("src") < col("dst"))
         .select("src", "dst")
       val nodes = t(s, dir, "documents").select(col("doc_id").as("id"))
-      Graph.connectedComponents(nodes, edges, iters = 6)
+      Graph.connectedComponentsStar(nodes, edges)
         .groupBy("component")
         .agg(count(lit(1)).as("n_docs"), min("id").as("min_doc"), max("id").as("max_doc"))
         .filter(col("n_docs") > 1)
