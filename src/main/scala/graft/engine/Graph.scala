@@ -92,6 +92,12 @@ object Graph {
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
       .unionByName(nodes.select(col("id").as("u"), col("id").as("v")))
       .distinct()
+      .localCheckpoint(true)
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prevSig = sig(pairs)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -123,13 +129,12 @@ object Graph {
         .distinct()
         .localCheckpoint(true)
       // fixpoint test: (count, order-independent xor-fingerprint) of the
-      // pair SET — one cheap agg per round instead of a set-difference
-      // join (bit_xor never overflows, unlike a hash SUM under ANSI)
-      def sig(df: DataFrame): (Long, Long) = {
-        val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).collect()(0)
-        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-      }
-      converged = sig(next) == sig(pairs)
+      // pair SET — ONE cheap agg per round (bit_xor never overflows,
+      // unlike a hash SUM under ANSI); the previous round's fingerprint
+      // is remembered, not recomputed
+      val nextSig = sig(next)
+      converged = nextSig == prevSig
+      prevSig = nextSig
       pairs = next
       round += 1
     }
