@@ -70,6 +70,31 @@ class PbfSpec extends AnyFunSuite {
     assert(dec.nodes.map(_._1).max == 2147483658L)
   }
 
+  test("southern/western hemisphere: negative coords round-trip exactly (pbf + o5m)") {
+    // negative lon/lat drive the sign paths of the zigzag/varint delta
+    // coding that the all-positive fixtures never touch (an S34 W71 tile)
+    // binary-exact fractions so quantize truncation is unambiguous
+    val pts = path((-71.25, -34.5), (-71.125, -34.375), (-70.5, -33.0625))
+    val expected = Seq((-712500000L, -345000000L), (-711250000L, -343750000L),
+      (-705000000L, -330625000L)) // (lon, lat) in 1e-7 units
+    val bbox = BBox(-72, -35, -70, -33)
+    // pbf
+    val bosP = new ByteArrayOutputStream()
+    val pb = new PbfTileSink(bosP, bbox)
+    val (_, wayP) = pb.writePath(pts, 10L, -400L)
+    pb.finish(Seq(wayP), 99L, _ => "elevation")
+    val decP = PbfReader.decode(bosP.toByteArray)
+    assert(decP.bboxNano == Seq(-72000000000L, -70000000000L, -33000000000L, -35000000000L))
+    assert(decP.nodes.sortBy(_._1).map(n => (n._2, n._3)) == expected)
+    // o5m
+    val bosO = new ByteArrayOutputStream()
+    val ob = new O5mTileSink(bosO, bbox)
+    val (_, wayO) = ob.writePath(pts, 10L, -400L)
+    ob.finish(Seq(wayO), 99L, _ => "elevation")
+    val decO = O5mReader.decode(bosO.toByteArray)
+    assert(decO.nodes.sortBy(_._1).map(n => (n._2, n._3)) == expected)
+  }
+
   test("pipeline writes decodable pbf tiles") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").appName("pbf-pipe")
