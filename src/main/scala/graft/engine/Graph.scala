@@ -23,9 +23,11 @@ object Graph {
     * (src, dst); every src's out-degree is taken from the edge table.
     * Returns (id, rank). Nodes come from `nodes` (single `id` column) so
     * sinks with no in-edges keep their teleport share. */
-  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
-    val spark = nodes.sparkSession
-    val n = nodes.count()
+  def pageRank(
+      nodes: DataFrame, edges: DataFrame, iters: Int,
+      nodeCount: Option[Long] = None): DataFrame = {
+    val n = nodeCount.getOrElse(nodes.count()) // pass when already known
+    require(n > 0, "pageRank needs a non-empty node set")
     val base = 1000000000000L / n // initial/teleport mass per node
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // out-degree rides along with the rank table so the per-iteration
@@ -85,7 +87,6 @@ object Graph {
     * assignment reaches a fixpoint (checked via a cheap count, bounded
     * by `maxRounds`). Returns (id, component = min member id). */
   def connectedComponentsStar(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val spark = nodes.sparkSession
     // parent-pointer multiset, seeded with both edge directions plus a
     // self-loop per node (keeps isolated nodes in the computation)
     var pairs = edges.select(col("src").as("u"), col("dst").as("v"))
@@ -138,6 +139,9 @@ object Graph {
       pairs = next
       round += 1
     }
+    // an intermediate state would silently split components — refuse it
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxRounds rounds (raise maxRounds)")
     // at the fixpoint every node points at its component minimum
     pairs.groupBy("u").agg(min("v").as("component"))
       .select(col("u").as("id"), col("component"))

@@ -196,12 +196,21 @@ object Queries {
       // the raw table — layout must never change results.
       val docs = withDocCoords(t(s, dir, "documents"))
         .select("doc_id", "lon", "lat", "n_chars")
-      // one dir PER INPUT SCALE, not per application: concurrent Verify
-      // runs at different sf stay isolated, while repeated runs reuse
-      // (overwrite) the same dir instead of leaking a table per run
+      // one PUBLISHED dir per input scale — bounded (repeated runs reuse
+      // it) AND concurrent-safe: each run stages to a unique tmp and
+      // publishes with a no-clobber rename; the loser of a race discards
+      // its copy and reads the winner's identical table
       val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q18_cluster_${math.abs(dir.hashCode)}").toString
-      SpatialJoin.writeClusteredS2(docs, tmp, "lon", "lat", partitions = 8)
+        s"graft_q18_cluster_${java.lang.Integer.toHexString(dir.hashCode)}").toString
+      if (!graft.core.Fs.exists(s"$tmp/_SUCCESS")) {
+        // a crashed run may have left a partial dir: clear it so the
+        // publish rename can land
+        if (graft.core.Fs.exists(tmp)) graft.core.Fs.delete(tmp)
+        val stage = s"$tmp.${s.sparkContext.applicationId}.stage"
+        SpatialJoin.writeClusteredS2(docs, stage, "lon", "lat", partitions = 8)
+        try graft.core.Fs.renameNoClobber(stage, tmp)
+        catch { case _: java.io.IOException => graft.core.Fs.delete(stage) }
+      }
       val (lo0, la0, lo1, la1) = (6.3, 43.3, 6.7, 43.7)
       s.read.parquet(tmp)
         .filter(SpatialJoin.s2RangePredicate(lo0, la0, lo1, la1, level = 11))
@@ -1001,7 +1010,7 @@ object Queries {
         .select(col("doc_id").as("src"),
           explode(array((0 to 2).map(k =>
             (col("doc_id") * 7 + k * 13 + 1) % n): _*)).as("dst"))
-      Graph.pageRank(nodes, edges, iters = 5).orderBy("id")
+      Graph.pageRank(nodes, edges, iters = 5, nodeCount = Some(n)).orderBy("id")
     },
     Some(pageRankOracleSql(5)))
 

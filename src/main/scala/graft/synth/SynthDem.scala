@@ -46,10 +46,13 @@ object SynthDem {
       // the same hardening ArchiveSource/UriTemplateSource carry
       val tmp = Paths.get(dir, s".$key.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       Files.write(tmp, bytes)
+      // the tmp name is per-attempt unique, so the only benign failure is
+      // a concurrent writer having published identical content first —
+      // anything else (vanished dir, ...) must surface, not be swallowed
       try Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException | _: java.nio.file.NoSuchFileException =>
-          Files.deleteIfExists(tmp) // another writer published identical content
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
       }
     }
     path.toString
