@@ -50,6 +50,18 @@ class GraphSpec extends AnyFunSuite {
     assert(got.size == 128)
   }
 
+  test("guards: empty pageRank input and non-converged star CC fail loudly") {
+    import spark.implicits._
+    assertThrows[IllegalArgumentException](
+      Graph.pageRank(Seq.empty[Long].toDF("id"), Seq.empty[(Long, Long)].toDF("src", "dst"), 3))
+    // a 40-chain cannot reach a star in 1 round: must refuse, not return
+    // silently split components
+    val edges = (0 until 40).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val nodes = (0L to 40L).toDF("id")
+    assertThrows[IllegalArgumentException](
+      Graph.connectedComponentsStar(nodes, edges, maxRounds = 1))
+  }
+
   test("connected components equals union-find, incl. isolated nodes and chains") {
     import spark.implicits._
     val nodes = (0L to 20L).toDF("id")
