@@ -165,6 +165,31 @@ object Streaming {
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
   }
 
+  /** Deploy topology for the interval join: file source (one file per
+    * micro-batch) -> dual-watermark stream-stream join -> APPEND-mode
+    * parquet sink with a checkpoint. An inner stream-stream join emits a
+    * pair exactly once, when its second side arrives; the checkpoint
+    * replays nothing on restart — so the output table accumulates each
+    * (purchase, view) pair exactly once across any number of restarts
+    * (StreamingSinkSpec proves it). */
+  def attributionToParquetSink(
+      spark: SparkSession,
+      eventsDir: String,
+      outDir: String,
+      checkpointDir: String,
+      watermark: String = "2 hours"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(eventsDir)
+    attributionJoin(stream, watermark).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+  }
+
   def purchaseAttribution(spark: SparkSession, eventsPath: String): DataFrame = {
     val schema = spark.read.parquet(eventsPath).schema
     val joined = attributionJoin(streamOf(spark, eventsPath, schema))

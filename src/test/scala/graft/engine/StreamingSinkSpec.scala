@@ -111,6 +111,42 @@ class StreamingSinkSpec extends AnyFunSuite {
     assert(texts == Seq("alpha", "beta", "gamma"), s"got $texts")
   }
 
+  test("stream-stream join parquet sink: checkpointed restart appends new pairs exactly once") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ssjsink").toString
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    new java.io.File(srcDir).mkdirs()
+    def writeEvents(name: String, rows: Seq[(Long, String, Long, String)]): Unit = {
+      val tmp = s"$base/tmp_$name"
+      rows.toDF("event_id", "ts_s", "user_id", "event_type")
+        .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+    writeEvents("a", Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (100L, "2024-01-01 10:20:00", 1L, "purchase")))
+    def runOnce(): Unit = {
+      val q = Streaming.attributionToParquetSink(spark, srcDir, outDir, ckDir)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val first = spark.read.parquet(outDir)
+      .select("p_id", "view_us").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(first == Seq((100L, java.time.Instant.parse("2024-01-01T10:00:00Z").toEpochMilli * 1000L)))
+    // RESTART with one more purchase matching the same buffered view:
+    // only the new pair appends — the old one is not re-emitted
+    writeEvents("b", Seq((101L, "2024-01-01 10:40:00", 1L, "purchase")))
+    runOnce()
+    val after = spark.read.parquet(outDir)
+      .select("p_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == Seq(100L, 101L), s"got $after")
+  }
+
   test("stream-stream join: watermark bounds state, late purchases drop") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("ssjoin").toString
