@@ -1068,6 +1068,53 @@ object Queries {
     },
     Some(dupClustersOracleSql(6)))
 
+  private val qWarcIngest = Q(
+    "q54_warc_ingest",
+    (s, dir) => {
+      // crawl-ingest end-to-end through the custom DataSource V2: docs
+      // are framed into WARC-lite files (one per partition, executors
+      // write through the Hadoop FS), read back via the connector, text
+      // re-extracted and aggregated. The oracle computes the same
+      // invariants straight from the documents table — framing, the
+      // connector, and the html wrap/extract must all be lossless.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val warcDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q54_warc_${java.lang.Integer.toHexString(dir.hashCode)}").toString
+      if (!graft.core.Fs.exists(s"$warcDir/_DONE")) {
+        if (graft.core.Fs.exists(warcDir)) graft.core.Fs.delete(warcDir)
+        val stage = s"$warcDir.${s.sparkContext.applicationId}.stage"
+        docs.repartitionByRange(4, col("doc_id"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val recs = it.map { r =>
+              val id = r.getLong(0)
+              val url = graft.synth.Pages.urlOf(id)
+              (url, 1704067200000000L + id * 1000000L,
+                graft.synth.Pages.htmlOf(r.getString(1), url))
+            }.toSeq
+            if (recs.nonEmpty) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              graft.sources.WarcLite.write(f"$stage/part-$pid%05d.warc", recs)
+            }
+          }
+        graft.core.Fs.writeString(s"$stage/_DONE", "ok")
+        try graft.core.Fs.renameNoClobber(stage, warcDir)
+        catch { case _: java.io.IOException => graft.core.Fs.delete(stage) }
+      }
+      s.read.format("graft.sources.WarcLiteSource").load(warcDir)
+        .select(col("url"), col("warc_ts"),
+          length(decode(col("html"), "UTF-8")).cast("long").as("html_chars"))
+        .agg(count(lit(1)).as("n_records"),
+          countDistinct(col("url")).as("n_urls"),
+          sum("html_chars").as("total_chars"),
+          sum(unix_micros(col("warc_ts"))).as("ts_sum"))
+    },
+    Some("""SELECT count(*) AS n_records,
+           | count(DISTINCT 'https://site' || (doc_id % 97) || '.example/page/' || doc_id) AS n_urls,
+           | CAST(sum(61 + length('https://site' || (doc_id % 97) || '.example/page/' || doc_id)
+           |   + length(replace(replace(text, '&', '&amp;'), '<', '&lt;'))) AS BIGINT) AS total_chars,
+           | CAST(sum(1704067200000000 + doc_id * 1000000) AS BIGINT) AS ts_sum
+           |FROM documents""".stripMargin))
+
   // --------------------------------------------------------------- embeddings ---
 
   private def embDims(s: SparkSession, dir: String): DataFrame =
@@ -1554,6 +1601,7 @@ object Queries {
     qJaccard, qFingerprint, qQuality, qSubwords, qBandedLsh, qMultimodal, qLangId,
     qRoundtrip, qStreamHourly, qStreamSessions, qStreamDedup, qStreamAttribution,
     qDomainCap, qRepetition, qDecontam, qSplit, qLengthHist, qPageRank, qDupClusters,
+    qWarcIngest,
     qEmbStats, qAnn, qCentroids, qIvf, qEmbNearDup, qQuantize,
     qContourGolden, qChopGolden)
 }
