@@ -109,6 +109,24 @@ object Fs {
       throw new java.io.IOException(s"rename $src -> $dst failed")
   }
 
+  /** Build-once cache-dir publish: if `dest` already carries the marker
+    * file, reuse it; otherwise populate a caller-unique stage dir, drop
+    * the marker, and publish with a no-clobber rename (the loser of a
+    * concurrent race discards its stage and reads the winner's identical
+    * content). Stale partial dirs from crashed runs are cleared first.
+    * Shared by every "derive a table once per input, reuse across runs"
+    * site (q18's clustered table, q54's WARC framing). */
+  def publishOnce(dest: String, stageSuffix: String, marker: String = "_SUCCESS")(
+      populate: String => Unit): Unit = {
+    if (exists(s"$dest/$marker")) return
+    if (exists(dest)) delete(dest)
+    val stage = s"$dest.$stageSuffix.stage"
+    populate(stage)
+    if (!exists(s"$stage/$marker")) writeString(s"$stage/$marker", "ok")
+    try renameNoClobber(stage, dest)
+    catch { case _: java.io.IOException => delete(stage) }
+  }
+
   /** Non-recursive file listing (names only). */
   def listFiles(dir: String): Seq[String] = {
     val p = new Path(dir)

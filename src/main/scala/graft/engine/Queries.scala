@@ -197,19 +197,12 @@ object Queries {
       val docs = withDocCoords(t(s, dir, "documents"))
         .select("doc_id", "lon", "lat", "n_chars")
       // one PUBLISHED dir per input scale — bounded (repeated runs reuse
-      // it) AND concurrent-safe: each run stages to a unique tmp and
-      // publishes with a no-clobber rename; the loser of a race discards
-      // its copy and reads the winner's identical table
+      // it) AND concurrent-safe (Fs.publishOnce: unique stage, no-clobber
+      // rename, losers discard and read the winner's identical table)
       val tmp = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_q18_cluster_${java.lang.Integer.toHexString(dir.hashCode)}").toString
-      if (!graft.core.Fs.exists(s"$tmp/_SUCCESS")) {
-        // a crashed run may have left a partial dir: clear it so the
-        // publish rename can land
-        if (graft.core.Fs.exists(tmp)) graft.core.Fs.delete(tmp)
-        val stage = s"$tmp.${s.sparkContext.applicationId}.stage"
+      graft.core.Fs.publishOnce(tmp, s.sparkContext.applicationId) { stage =>
         SpatialJoin.writeClusteredS2(docs, stage, "lon", "lat", partitions = 8)
-        try graft.core.Fs.renameNoClobber(stage, tmp)
-        catch { case _: java.io.IOException => graft.core.Fs.delete(stage) }
       }
       val (lo0, la0, lo1, la1) = (6.3, 43.3, 6.7, 43.7)
       s.read.parquet(tmp)
@@ -1080,25 +1073,21 @@ object Queries {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val warcDir = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_q54_warc_${java.lang.Integer.toHexString(dir.hashCode)}").toString
-      if (!graft.core.Fs.exists(s"$warcDir/_DONE")) {
-        if (graft.core.Fs.exists(warcDir)) graft.core.Fs.delete(warcDir)
-        val stage = s"$warcDir.${s.sparkContext.applicationId}.stage"
+      graft.core.Fs.publishOnce(warcDir, s.sparkContext.applicationId) { stage =>
         docs.repartitionByRange(4, col("doc_id"))
           .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            // STREAM records to the file — no partition-wide buffering
             val recs = it.map { r =>
               val id = r.getLong(0)
               val url = graft.synth.Pages.urlOf(id)
               (url, 1704067200000000L + id * 1000000L,
                 graft.synth.Pages.htmlOf(r.getString(1), url))
-            }.toSeq
-            if (recs.nonEmpty) {
+            }
+            if (recs.hasNext) {
               val pid = org.apache.spark.TaskContext.getPartitionId()
               graft.sources.WarcLite.write(f"$stage/part-$pid%05d.warc", recs)
             }
           }
-        graft.core.Fs.writeString(s"$stage/_DONE", "ok")
-        try graft.core.Fs.renameNoClobber(stage, warcDir)
-        catch { case _: java.io.IOException => graft.core.Fs.delete(stage) }
       }
       s.read.format("graft.sources.WarcLiteSource").load(warcDir)
         .select(col("url"), col("warc_ts"),
@@ -1106,13 +1095,15 @@ object Queries {
         .agg(count(lit(1)).as("n_records"),
           countDistinct(col("url")).as("n_urls"),
           sum("html_chars").as("total_chars"),
-          sum(unix_micros(col("warc_ts"))).as("ts_sum"))
+          // sum DELTAS from the crawl epoch: absolute epoch-micros sums
+          // overflow Long past ~5400 rows
+          sum(unix_micros(col("warc_ts")) - lit(1704067200000000L)).as("ts_delta_sum"))
     },
     Some("""SELECT count(*) AS n_records,
            | count(DISTINCT 'https://site' || (doc_id % 97) || '.example/page/' || doc_id) AS n_urls,
            | CAST(sum(61 + length('https://site' || (doc_id % 97) || '.example/page/' || doc_id)
            |   + length(replace(replace(text, '&', '&amp;'), '<', '&lt;'))) AS BIGINT) AS total_chars,
-           | CAST(sum(1704067200000000 + doc_id * 1000000) AS BIGINT) AS ts_sum
+           | CAST(sum(doc_id * 1000000) AS BIGINT) AS ts_delta_sum
            |FROM documents""".stripMargin))
 
   // --------------------------------------------------------------- embeddings ---

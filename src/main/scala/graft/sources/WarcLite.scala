@@ -40,11 +40,15 @@ object WarcLite {
   /** Streaming record iterator over one file. */
   def parse(in: java.io.InputStream): Iterator[(String, Long, Array[Byte])] = {
     val buf = new java.io.BufferedInputStream(in, 1 << 16)
+    val lineBytes = new java.io.ByteArrayOutputStream(128)
+    // header lines decode as UTF-8 (ISO 28500 headers are UTF-8 — a
+    // byte-to-char loop would mangle non-ASCII URIs)
     def readLine(): String = {
-      val sb = new java.lang.StringBuilder(64)
+      lineBytes.reset()
       var c = buf.read()
-      while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = buf.read() }
-      if (c == -1 && sb.length() == 0) null else sb.toString
+      while (c != -1 && c != '\n') { if (c != '\r') lineBytes.write(c); c = buf.read() }
+      if (c == -1 && lineBytes.size() == 0) null
+      else new String(lineBytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     }
     new Iterator[(String, Long, Array[Byte])] {
       private var nextRec: (String, Long, Array[Byte]) = advance()
@@ -54,7 +58,7 @@ object WarcLite {
         if (line == null) return null
         require(line.startsWith("WARC/"), s"bad record marker: '$line'")
         var url: String = null
-        var tsMicros = 0L
+        var tsMicros = -1L
         var len = -1L
         var h = readLine()
         while (h != null && h.nonEmpty) {
@@ -64,13 +68,20 @@ object WarcLite {
           k.toLowerCase(java.util.Locale.ROOT) match {
             case "warc-target-uri" => url = v
             case "warc-date" =>
-              tsMicros = java.time.Instant.parse(v).toEpochMilli * 1000L
+              // full microsecond precision (toEpochMilli would truncate)
+              val inst = java.time.Instant.parse(v)
+              tsMicros = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
             case "content-length" => len = v.toLong
             case _ => () // unknown headers pass through
           }
           h = readLine()
         }
+        // strict on ALL required headers — a half-parsed record must fail
+        // at the source, not flow through as null url / epoch-0 rows
         require(len >= 0, "record missing Content-Length")
+        require(len <= Int.MaxValue - 8, s"Content-Length $len exceeds a byte array")
+        require(url != null, "record missing WARC-Target-URI")
+        require(tsMicros >= 0, "record missing WARC-Date")
         val body = new Array[Byte](len.toInt)
         var off = 0
         while (off < len) {
@@ -87,11 +98,12 @@ object WarcLite {
     }
   }
 
-  /** Write records as one .warc file (test/synth helper). */
-  def write(path: String, records: Seq[(String, Long, Array[Byte])]): Unit = {
+  /** Stream records into one .warc file (test/synth helper). */
+  def write(path: String, records: Iterator[(String, Long, Array[Byte])]): Unit = {
     val out = new java.io.BufferedOutputStream(graft.core.Fs.create(path), 1 << 16)
     try records.foreach { case (url, tsMicros, body) =>
-      val ts = java.time.Instant.ofEpochMilli(tsMicros / 1000L).toString
+      val ts = java.time.Instant.ofEpochSecond(
+        tsMicros / 1000000L, (tsMicros % 1000000L) * 1000L).toString
       val head = s"WARC/1.0\r\nWARC-Target-URI: $url\r\nWARC-Date: $ts\r\n" +
         s"Content-Length: ${body.length}\r\n\r\n"
       out.write(head.getBytes("UTF-8"))
@@ -157,12 +169,19 @@ final class WarcLiteReaderFactory(required: StructType)
       private var cur: (String, Long, Array[Byte]) = _
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
       override def get(): InternalRow = {
-        val values = proj.map {
-          case 0 => UTF8String.fromString(cur._1)
-          case 1 => java.lang.Long.valueOf(cur._2)
-          case _ => cur._3
+        // one fresh array per row (rows may be buffered downstream), no
+        // boxed-map/wrap/copy chain on the scan hot path
+        val arr = new Array[Any](proj.length)
+        var i = 0
+        while (i < proj.length) {
+          arr(i) = proj(i) match {
+            case 0 => UTF8String.fromString(cur._1)
+            case 1 => cur._2
+            case _ => cur._3
+          }
+          i += 1
         }
-        InternalRow.fromSeq(values.toIndexedSeq)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
       }
       override def close(): Unit = in.close()
     }

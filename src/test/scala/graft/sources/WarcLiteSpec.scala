@@ -21,21 +21,31 @@ class WarcLiteSpec extends AnyFunSuite {
       (s"https://w.example/$id", 1704067200000000L + id * 1000000L, body)
     }
 
-  test("parse round-trips framed records, including binary bodies with CRLFs") {
-    val recs = mkRecords(0, 5) :+
-      (("https://w.example/bin", 1704067200000000L,
-        Array[Byte](0, 13, 10, 13, 10, 'W', 'A', 'R', 'C', '/', -1, 127))) // framing bytes inside a body
+  test("parse round-trips framed records: binary bodies with CRLFs, UTF-8 URIs, microsecond timestamps") {
+    val recs = mkRecords(0, 5) ++ Seq(
+      ("https://w.example/bin", 1704067200000000L,
+        Array[Byte](0, 13, 10, 13, 10, 'W', 'A', 'R', 'C', '/', -1, 127)), // framing bytes inside a body
+      ("https://sité.example/ü/1", 1704067200001500L, // non-ASCII URI + sub-ms ts
+        "körper".getBytes("UTF-8")))
     val dir = java.nio.file.Files.createTempDirectory("warc1").toString
-    WarcLite.write(s"$dir/a.warc", recs)
+    WarcLite.write(s"$dir/a.warc", recs.iterator)
     val got = WarcLite.parse(new java.io.FileInputStream(s"$dir/a.warc")).toSeq
     assert(got.map(_._1) == recs.map(_._1))
-    assert(got.map(_._2) == recs.map(_._2))
+    assert(got.map(_._2) == recs.map(_._2)) // bit-exact micros, no ms truncation
     got.zip(recs).foreach { case (g, e) => assert(g._3.sameElements(e._3)) }
+  }
+
+  test("malformed records fail at the source, not as null rows") {
+    val dir = java.nio.file.Files.createTempDirectory("warcbad").toString
+    val noUri = "WARC/1.0\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.warc"), noUri.getBytes("UTF-8"))
+    assertThrows[IllegalArgumentException](
+      WarcLite.parse(new java.io.FileInputStream(s"$dir/bad.warc")).toSeq)
   }
 
   test("DataSource V2 read: multi-file, schema, values, extracted-text invariant") {
     val dir = java.nio.file.Files.createTempDirectory("warc2").toString
-    (0 until 3).foreach(f => WarcLite.write(s"$dir/f$f.warc", mkRecords(f, 20)))
+    (0 until 3).foreach(f => WarcLite.write(s"$dir/f$f.warc", mkRecords(f, 20).iterator))
     val df = spark.read.format("graft.sources.WarcLiteSource").load(dir)
     assert(df.schema.fieldNames.toSeq == Seq("url", "warc_ts", "html"))
     assert(df.count() == 60)
@@ -57,7 +67,7 @@ class WarcLiteSpec extends AnyFunSuite {
 
   test("column pruning reaches the connector: body column never materializes") {
     val dir = java.nio.file.Files.createTempDirectory("warc3").toString
-    WarcLite.write(s"$dir/a.warc", mkRecords(9, 10))
+    WarcLite.write(s"$dir/a.warc", mkRecords(9, 10).iterator)
     val df = spark.read.format("graft.sources.WarcLiteSource").load(dir).select("url")
     // DSv2 BatchScan prints the PRUNED output columns: url only, no html
     val p = df.queryExecution.executedPlan.toString
