@@ -758,10 +758,12 @@ object Queries {
       // the train aggregation (for the profile broadcast) and the classify
       // distinct below are INDEPENDENT shuffle-map stages over the same
       // gram explode, so Spark runs them concurrently inside one job —
-      // measured faster than both "cheaper" forms that serialize them
-      // (collecting the profile first, or semi-filtering the stream on
-      // profile grams: each added a blocking dependency and lost more to
-      // serialization than it saved in rows)
+      // measured faster than every "cheaper" form that serializes them:
+      // collecting the profile first, semi-filtering the stream on profile
+      // grams, and (r3, re-measured: 4.2 vs 5.7 s warm at sf0.1)
+      // countDistinct after a broadcast profile join — each adds a
+      // blocking dependency on the profile and loses more to stage
+      // serialization than it saves in rows
       val docGrams = grams.select("doc_id", "lang", "gram").distinct()
       val scored = docGrams.join(broadcast(profile), Seq("gram"))
         .groupBy("doc_id", "lang", "profile_lang")
