@@ -87,6 +87,14 @@ object Fs {
     fs(path).delete(p, false)
   }
 
+  /** Recursive delete for DIRECTORY cleanup (stale stage/publish dirs).
+    * The non-recursive `delete` throws on a non-empty directory — exactly
+    * the state a crashed publish leaves behind. */
+  def deleteRecursive(path: String): Boolean = {
+    val p = new Path(path)
+    fs(path).delete(p, true)
+  }
+
   /** Atomic-as-the-FS-allows rename (HDFS: atomic; S3A: copy+delete). */
   def rename(src: String, dst: String): Unit = {
     val s = new Path(src)
@@ -105,7 +113,16 @@ object Fs {
     * concurrently-published valid file is deleted. */
   def renameNoClobber(src: String, dst: String): Unit = {
     val f = fs(src)
-    if (!f.rename(new Path(src), new Path(dst)))
+    val d = new Path(dst)
+    // An existing DIRECTORY destination must be refused up front:
+    // RawLocalFileSystem.rename falls back to FileUtil.copy when the
+    // native rename fails, and a copy onto an existing directory lands
+    // src INSIDE dst as a nested subdir — a silent corruption for table
+    // publishes. (A FILE destination keeps the local-FS atomic-replace /
+    // HDFS-fail semantics the cache publishers rely on.)
+    if (f.exists(d) && f.getFileStatus(d).isDirectory)
+      throw new java.io.IOException(s"rename $src -> $dst: destination directory exists")
+    if (!f.rename(new Path(src), d))
       throw new java.io.IOException(s"rename $src -> $dst failed")
   }
 
@@ -113,18 +130,54 @@ object Fs {
     * file, reuse it; otherwise populate a caller-unique stage dir, drop
     * the marker, and publish with a no-clobber rename (the loser of a
     * concurrent race discards its stage and reads the winner's identical
-    * content). Stale partial dirs from crashed runs are cleared first.
-    * Shared by every "derive a table once per input, reuse across runs"
-    * site (q18's clustered table, q54's WARC framing). */
+    * content). Shared by every "derive a table once per input, reuse
+    * across runs" site (q18's clustered table, q54's WARC framing).
+    *
+    * A marker-less `dest` (crashed earlier run) is treated as stale ONLY
+    * after the no-clobber rename itself refuses — and then moved ASIDE
+    * under a caller-unique name, never deleted in place: a delete keyed on
+    * a moments-old marker check races a concurrent publisher's completed
+    * rename and would tear a valid table out from under its readers.
+    * Returns only when `dest/marker` verifiably exists; throws otherwise. */
   def publishOnce(dest: String, stageSuffix: String, marker: String = "_SUCCESS")(
       populate: String => Unit): Unit = {
     if (exists(s"$dest/$marker")) return
-    if (exists(dest)) delete(dest)
     val stage = s"$dest.$stageSuffix.stage"
     populate(stage)
     if (!exists(s"$stage/$marker")) writeString(s"$stage/$marker", "ok")
-    try renameNoClobber(stage, dest)
-    catch { case _: java.io.IOException => delete(stage) }
+    val stageName = stage.split('/').last
+    var attempt = 0
+    var published = false
+    while (!published && attempt < 3 && !exists(s"$dest/$marker")) {
+      attempt += 1
+      try {
+        renameNoClobber(stage, dest)
+        // belt for the exists->rename race inside renameNoClobber: a
+        // RawLocalFileSystem fallback copy onto a dest that appeared
+        // concurrently lands the stage NESTED inside it — detect the
+        // nested dir by its marker and undo it (the winner's table is
+        // already complete above it)
+        val nested = s"$dest/$stageName"
+        if (exists(s"$nested/$marker")) deleteRecursive(nested)
+        else published = true
+      } catch {
+        case _: java.io.IOException =>
+          if (!exists(s"$dest/$marker")) {
+            // the failed rename proved a marker-less dir occupies dest:
+            // move it aside (unique suffix; a concurrent publisher winning
+            // this very rename is re-checked on the next loop pass)
+            try renameNoClobber(dest, s"$stage.stale$attempt")
+            catch { case _: java.io.IOException => () }
+          }
+      }
+    }
+    if (!published && exists(stage)) deleteRecursive(stage) // another publisher won
+    (1 to attempt).foreach { i =>
+      if (exists(s"$stage.stale$i")) deleteRecursive(s"$stage.stale$i")
+    }
+    if (!exists(s"$dest/$marker"))
+      throw new java.io.IOException(
+        s"publishOnce: $dest carries no $marker after publish (raced beyond retry budget?)")
   }
 
   /** Non-recursive file listing (names only). */

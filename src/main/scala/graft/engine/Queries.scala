@@ -20,6 +20,37 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Root for gate-derived published tables (q18's clustered layout, q54's
+    * WARC framing). Driver-local tmpdir is PER-NODE on a real cluster —
+    * executors and a remote driver would not see one shared table — so a
+    * deploy points this at a shared filesystem via spark conf
+    * `spark.graft.publishRoot` (or SPARK_GRAFT_PUBLISH_ROOT); the tmpdir
+    * default is for local mode only. */
+  private[graft] def publishRoot(s: SparkSession): String =
+    s.conf.getOption("spark.graft.publishRoot")
+      .orElse(sys.env.get("SPARK_GRAFT_PUBLISH_ROOT"))
+      .getOrElse(sys.props("java.io.tmpdir"))
+      .stripSuffix("/")
+
+  /** Content fingerprint of an input table: full path + parquet file names
+    * + lengths folded through SplitMix64 (the ArchiveSource
+    * mirrorFingerprint recipe). Keying the published-table cache on this —
+    * not on a 32-bit path hash — means regenerated input data at the same
+    * path rebuilds the derived table, and two distinct dirs can never
+    * silently alias to one cache entry. */
+  private[graft] def tableFingerprint(dir: String, table: String): String = {
+    val path = s"$dir/$table.parquet"
+    val entries = graft.core.Fs.listFilesWithLen(path)
+      .map { case (p, l) => s"${p.split('/').last}:$l" }
+      .sorted
+    val h = (path +: entries).foldLeft(0x9e3779b97f4a7c15L) { (acc, e) =>
+      e.foldLeft(graft.functions.SplitMix64.mix(acc)) { (a, ch) =>
+        graft.functions.SplitMix64.mix(a ^ ch.toLong)
+      }
+    }
+    java.lang.Long.toHexString(h)
+  }
+
   // ---------------------------------------------------------------- geo ---
 
   /** Convex CCW pentagon inside the doc-coordinate tile (lon 6..7, lat 43..44). */
@@ -196,11 +227,13 @@ object Queries {
       // the raw table — layout must never change results.
       val docs = withDocCoords(t(s, dir, "documents"))
         .select("doc_id", "lon", "lat", "n_chars")
-      // one PUBLISHED dir per input scale — bounded (repeated runs reuse
-      // it) AND concurrent-safe (Fs.publishOnce: unique stage, no-clobber
-      // rename, losers discard and read the winner's identical table)
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q18_cluster_${java.lang.Integer.toHexString(dir.hashCode)}").toString
+      // one PUBLISHED dir per input table CONTENT — bounded (repeated runs
+      // reuse it), concurrent-safe (Fs.publishOnce: unique stage,
+      // no-clobber rename, losers discard and read the winner's identical
+      // table), and rebuilt when the input data changes (fingerprint keys
+      // on file names+lengths, not the path's 32-bit hash)
+      val tmp =
+        s"${publishRoot(s)}/graft_q18_cluster_${tableFingerprint(dir, "documents")}"
       graft.core.Fs.publishOnce(tmp, s.sparkContext.applicationId) { stage =>
         SpatialJoin.writeClusteredS2(docs, stage, "lon", "lat", partitions = 8)
       }
@@ -1073,8 +1106,8 @@ object Queries {
       // invariants straight from the documents table — framing, the
       // connector, and the html wrap/extract must all be lossless.
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      val warcDir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q54_warc_${java.lang.Integer.toHexString(dir.hashCode)}").toString
+      val warcDir =
+        s"${publishRoot(s)}/graft_q54_warc_${tableFingerprint(dir, "documents")}"
       graft.core.Fs.publishOnce(warcDir, s.sparkContext.applicationId) { stage =>
         docs.repartitionByRange(4, col("doc_id"))
           .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
