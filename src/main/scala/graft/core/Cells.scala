@@ -18,11 +18,18 @@ object Cells {
 
   @inline def lonWidth(res: Int): Long = 360L << res
 
+  /** Boundary points CLAMP into the valid index range (mirroring
+    * S2.ijFromSt): lat = 90.0 floors to latIdx = 180<<res, one past the
+    * last row — without the clamp such points land in nonexistent cells
+    * that no k-ring or cover enumeration ever visits (they'd silently
+    * drop out of every cell-indexed join). Same for lon = 180.0. */
   def cellId(lon: Double, lat: Double, res: Int): Long = {
     val scale = (1L << res).toDouble
-    val lonIdx = math.floor((lon + 180.0) * scale).toLong
-    val latIdx = math.floor((lat + 90.0) * scale).toLong
-    latIdx * lonWidth(res) + lonIdx
+    val w = lonWidth(res)
+    val maxLat = 180L << res
+    val lonIdx = math.min(math.max(math.floor((lon + 180.0) * scale).toLong, 0L), w - 1)
+    val latIdx = math.min(math.max(math.floor((lat + 90.0) * scale).toLong, 0L), maxLat - 1)
+    latIdx * w + lonIdx
   }
 
   def lonIdx(cell: Long, res: Int): Long = cell % lonWidth(res)
@@ -60,14 +67,18 @@ object Cells {
     out.toArray
   }
 
-  /** Cells covering a bbox at a resolution (for polygon covers). */
+  /** Cells covering a bbox at a resolution (for polygon covers). Edges on
+    * the domain boundary clamp like cellId, so a bbox touching lat 90 /
+    * lon 180 covers exactly the cells boundary points clamp into. */
   def cover(bbox: BBox, res: Int): Array[Long] = {
     val scale = (1L << res).toDouble
-    val x0 = math.floor((bbox.minLon + 180.0) * scale).toLong
-    val x1 = math.floor((bbox.maxLon + 180.0) * scale).toLong
-    val y0 = math.floor((bbox.minLat + 90.0) * scale).toLong
-    val y1 = math.floor((bbox.maxLat + 90.0) * scale).toLong
     val w = lonWidth(res)
+    val maxLat = 180L << res
+    def clamp(v: Long, hi: Long): Long = math.min(math.max(v, 0L), hi - 1)
+    val x0 = clamp(math.floor((bbox.minLon + 180.0) * scale).toLong, w)
+    val x1 = clamp(math.floor((bbox.maxLon + 180.0) * scale).toLong, w)
+    val y0 = clamp(math.floor((bbox.minLat + 90.0) * scale).toLong, maxLat)
+    val y1 = clamp(math.floor((bbox.maxLat + 90.0) * scale).toLong, maxLat)
     val out = new scala.collection.mutable.ArrayBuffer[Long]()
     var y = y0
     while (y <= y1) {

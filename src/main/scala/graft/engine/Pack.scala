@@ -22,22 +22,34 @@ object Pack {
   /** Adds `prefix_before` (tokens before this row in order) and `chunk`
     * (= prefix_before / capacity) to `df`.
     *
+    * DETERMINISM CONTRACT: `(orderCol, tieBreak...)` must order rows
+    * uniquely. With duplicate order keys and no tie-breaker, which of the
+    * tied rows "comes first" — and therefore their chunk assignment —
+    * varies across runs/engines (window ordering is only a partial
+    * order), silently breaking oracle exactness. Pass `tieBreak` columns
+    * (e.g. a unique id) whenever orderCol alone can tie; ties always
+    * share a band (banding is a function of orderCol), so the tie-breaker
+    * composes with the segmented two-pass shape unchanged.
+    *
     * @param orderCol  numeric column defining the global layout order
     *                  (ids need not be dense — only ordered)
     * @param weightCol integer token/weight count per row
     * @param bandWidth order-key span per band: parallelism knob; each
     *                  band's rows sort locally, so bands should hold
-    *                  ~10^5-10^7 rows at scale */
+    *                  ~10^5-10^7 rows at scale
+    * @param tieBreak  columns completing the total order when orderCol
+    *                  values can repeat */
   def chunkIds(
       df: DataFrame,
       orderCol: String,
       weightCol: String,
       capacity: Long,
-      bandWidth: Long): DataFrame = {
+      bandWidth: Long,
+      tieBreak: Seq[String] = Nil): DataFrame = {
     require(capacity > 0 && bandWidth > 0)
     val banded = df.withColumn("__band", floor(col(orderCol) / lit(bandWidth)).cast("long"))
     // pass 1: running sum WITHIN each band (parallel across bands)
-    val wLocal = Window.partitionBy("__band").orderBy(orderCol)
+    val wLocal = Window.partitionBy("__band").orderBy((orderCol +: tieBreak).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = banded.withColumn("__local_before",
       coalesce(sum(col(weightCol)).over(wLocal), lit(0L)))

@@ -257,11 +257,16 @@ object SpatialJoin {
     val scale = (1L << res).toDouble
     val cellCounts = pages.groupBy("cell").agg(count(lit(1)).as("cnt"))
     // index arithmetic mirrors GeoCols.cellId exactly (floor on the raw
-    // coordinate) — deriving idx from the cell id via double division
-    // loses integer precision once cell ids pass 2^53 (res >= 19)
+    // coordinate, domain-boundary CLAMP — a query at lat = 90.0 must index
+    // the last row, not the nonexistent one past it, or its northern cells
+    // become unreachable by every ring join) — deriving idx from the cell
+    // id via double division loses integer precision once cell ids pass
+    // 2^53 (res >= 19)
     val q = queries
-      .withColumn("q_lon_idx", floor((col("q_lon") + lit(180.0)) * lit(scale)).cast("long"))
-      .withColumn("q_lat_idx", floor((col("q_lat") + lit(90.0)) * lit(scale)).cast("long"))
+      .withColumn("q_lon_idx",
+        least(greatest(floor((col("q_lon") + lit(180.0)) * lit(scale)).cast("long"), lit(0L)), lit(w - 1)))
+      .withColumn("q_lat_idx",
+        least(greatest(floor((col("q_lat") + lit(90.0)) * lit(scale)).cast("long"), lit(0L)), lit(maxLatIdx - 1)))
     // NO longitude wrap: the ranking metric below is plain Euclidean d2,
     // under which points across the antimeridian are genuinely far —
     // wrapping the candidate cells would count them as near in pass 1 and

@@ -22,18 +22,25 @@ object GeoCols {
   val docLatSql = "(43.0 + ((doc_id * 40503 + 17) % 1000000) / 1000000.0)"
 
   /** Cell id at resolution r over the square lon/lat grid (graft.core.Cells
-    * codec, kept pure-arithmetic so Catalyst codegens it). */
+    * codec, kept pure-arithmetic so Catalyst codegens it). Domain-boundary
+    * points (lat = 90, lon = 180) CLAMP into the last valid row/column —
+    * see Cells.cellId; keep the SQL twin below in lockstep. */
   def cellId(lon: Column, lat: Column, res: Int): Column = {
     val scale = (1L << res).toDouble
     val w = 360L << res
-    floor((lat + lit(90.0)) * lit(scale)).cast("long") * lit(w) +
-      floor((lon + lit(180.0)) * lit(scale)).cast("long")
+    val maxLat = 180L << res
+    val latIdx = least(greatest(floor((lat + lit(90.0)) * lit(scale)).cast("long"), lit(0L)), lit(maxLat - 1))
+    val lonIdx = least(greatest(floor((lon + lit(180.0)) * lit(scale)).cast("long"), lit(0L)), lit(w - 1))
+    latIdx * lit(w) + lonIdx
   }
 
   def cellIdSql(lonSql: String, latSql: String, res: Int): String = {
     val scale = (1L << res).toDouble
     val w = 360L << res
-    s"(CAST(floor(($latSql + 90.0) * $scale) AS BIGINT) * $w + CAST(floor(($lonSql + 180.0) * $scale) AS BIGINT))"
+    val maxLat = 180L << res
+    val latIdx = s"least(greatest(CAST(floor(($latSql + 90.0) * $scale) AS BIGINT), 0), ${maxLat - 1})"
+    val lonIdx = s"least(greatest(CAST(floor(($lonSql + 180.0) * $scale) AS BIGINT), 0), ${w - 1})"
+    s"($latIdx * $w + $lonIdx)"
   }
 
   /** Squared euclidean distance in degree space. */

@@ -106,6 +106,32 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got == brute, s"got $got vs brute $brute")
   }
 
+  test("batch kNN at the pole/antimeridian domain boundary matches brute force") {
+    import spark.implicits._
+    // lat = 90.0 floors to latIdx = 180<<res, one past the last row: the
+    // clamp (Cells.cellId / GeoCols.cellId / knnBatch query idx) keeps
+    // such points in the last valid row so ring joins still reach them —
+    // both as data points AND as query points. Same for lon = 180.0.
+    val res = 7
+    val pts = Seq(
+      (1L, 10.0, 90.0), (2L, 10.05, 89.99), (3L, 9.9, 89.95),
+      (4L, 10.2, 89.9), (5L, 180.0, 89.98), (6L, 179.9, 89.97),
+      (7L, 10.1, 89.2), (8L, 11.0, 89.0), (9L, 179.5, 89.5))
+      .toDF("page_id", "lon", "lat")
+      .withColumn("cell", graft.functions.GeoCols.cellId(col("lon"), col("lat"), res))
+    // column codec still equals the scala codec at the boundary
+    pts.select("page_id", "lon", "lat", "cell").collect().foreach { r =>
+      assert(r.getLong(3) == graft.core.Cells.cellId(r.getDouble(1), r.getDouble(2), res))
+    }
+    val qSeq = Seq((0L, 10.0, 90.0), (1L, 180.0, 90.0), (2L, 9.95, 89.96))
+    val got = SpatialJoin.knnBatch(pts, qSeq.toDF("q_id", "q_lon", "q_lat"),
+        k = 3, res = res, maxR = 256)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val brute = SpatialJoin.knnBrute(pts, qSeq, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(got == brute, s"got $got vs brute $brute")
+  }
+
   test("hilbert-clustered write prunes a bbox scan >= 2x vs hash layout") {
     val tmp = java.nio.file.Files.createTempDirectory("layout").toString
     val cols = pages.select("page_id", "lon", "lat")
