@@ -775,7 +775,15 @@ object Queries {
     * broadcast); classify = distinct doc-grams ⋈ profile, argmax match
     * count per doc. Linear explode + small-window train + broadcast join:
     * the classic Cavnar-Trenkle shape a corpus-scale pipeline runs. Docs
-    * sharing no profile gram are absent (symmetric on both engines). */
+    * sharing no profile gram are absent (symmetric on both engines).
+    *
+    * Both corpus-wide exchanges key on `xxhash64(gram)` — the q46 rule:
+    * raw text fragments never enter a shuffle. The train groupBy carries
+    * the gram STRING only as a min() aggregation value (needed for the
+    * deterministic `gram asc` tie-break that decides which grams make the
+    * top-20 — partial aggregation reduces it to one 3-char value per
+    * distinct (lang, hash) before the exchange); the classify distinct
+    * and the profile broadcast join are hash-only. */
   private val qLangId = Q(
     "q39_lang_id",
     (s, dir) => {
@@ -784,10 +792,12 @@ object Queries {
         .select(col("doc_id"), col("lang"),
           explode(sequence(lit(1), length(col("text")) - 2)).as("i"), col("text"))
         .select(col("doc_id"), col("lang"), expr("substring(text, i, 3)").as("gram"))
-      val counts = grams.groupBy("lang", "gram").agg(count(lit(1)).as("n"))
+        .withColumn("ghash", xxhash64(col("gram")))
+      val counts = grams.groupBy("lang", "ghash")
+        .agg(count(lit(1)).as("n"), min("gram").as("gram"))
       val wp = Window.partitionBy("lang").orderBy(col("n").desc, col("gram").asc)
       val profile = counts.withColumn("r", row_number().over(wp)).filter(col("r") <= 20)
-        .select(col("lang").as("profile_lang"), col("gram"))
+        .select(col("lang").as("profile_lang"), col("ghash"))
       // the train aggregation (for the profile broadcast) and the classify
       // distinct below are INDEPENDENT shuffle-map stages over the same
       // gram explode, so Spark runs them concurrently inside one job —
@@ -797,8 +807,8 @@ object Queries {
       // countDistinct after a broadcast profile join — each adds a
       // blocking dependency on the profile and loses more to stage
       // serialization than it saves in rows
-      val docGrams = grams.select("doc_id", "lang", "gram").distinct()
-      val scored = docGrams.join(broadcast(profile), Seq("gram"))
+      val docGrams = grams.select("doc_id", "lang", "ghash").distinct()
+      val scored = docGrams.join(broadcast(profile), Seq("ghash"))
         .groupBy("doc_id", "lang", "profile_lang")
         .agg(count(lit(1)).as("matches"))
       val wd = Window.partitionBy("doc_id").orderBy(col("matches").desc, col("profile_lang").asc)

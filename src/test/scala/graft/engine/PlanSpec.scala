@@ -209,6 +209,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Partial"), p)
   }
 
+  test("q39 lang-id exchanges key on hashed grams, never raw gram strings") {
+    val q = Queries.all.find(_.name == "q39_lang_id").get
+    val df = q.impl(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // the q46 rule applied to q39: every shuffle (train count groupBy,
+    // classify distinct, scoring windows) partitions on ghash/lang/doc_id —
+    // the raw 3-gram string must appear in NO partitioning expression
+    val partitionings = "(?:hash|range)partitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(partitionings.nonEmpty, p)
+    partitionings.foreach { part =>
+      assert(!part.contains("gram#"), s"raw gram used as exchange key: $part")
+    }
+    // profile side broadcasts; the corpus never sort-merge joins
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q47 decontamination broadcasts the benchmark, never shuffles the corpus grams") {
     val q = Queries.all.find(_.name == "q47_decontam").get
     val df = q.impl(spark, dir)
