@@ -29,25 +29,37 @@ object Graph {
     val n = nodeCount.getOrElse(nodes.count()) // pass when already known
     require(n > 0, "pageRank needs a non-empty node set")
     val base = 1000000000000L / n // initial/teleport mass per node
-    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // out-degree rides along with the rank table so the per-iteration
-    // join is rank-table x edges only
-    var ranks = nodes
-      .join(outDeg, nodes("id") === outDeg("src"), "left")
-      .select(col("id"), lit(base).as("rank"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-    (1 to iters).foreach { _ =>
-      val contribs = edges
-        .join(ranks, edges("src") === ranks("id"))
-        .select(col("dst"), expr("rank DIV outdeg").as("c"))
-        .groupBy("dst").agg(sum("c").as("s"))
-      ranks = ranks
-        .join(contribs, ranks("id") === contribs("dst"), "left")
-        .select(col("id"),
-          (lit(15L * base / 100L) + expr("85 * coalesce(s, 0L) DIV 100")).as("rank"),
-          col("outdeg"))
-        .localCheckpoint(true) // truncate the per-iteration plan nesting
-    }
-    ranks.select("id", "rank")
+    // materialize the edge table ONCE: every power iteration joins against
+    // it, and an unpersisted `edges` re-evaluates its full lineage per
+    // round — at 10^12 edges that is `iters` re-scans of the source (plus
+    // whatever derivation produced the edges). The rank side is already
+    // materialized each round by localCheckpoint; with the persist, each
+    // iteration's contribs join reads the cached edge blocks, nothing
+    // upstream of them. MEMORY_AND_DISK: an edge set larger than cluster
+    // memory spills instead of recomputing.
+    val e = edges.select("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      // out-degree rides along with the rank table so the per-iteration
+      // join is rank-table x edges only
+      var ranks = nodes
+        .join(outDeg, nodes("id") === outDeg("src"), "left")
+        .select(col("id"), lit(base).as("rank"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      (1 to iters).foreach { _ =>
+        val contribs = e
+          .join(ranks, e("src") === ranks("id"))
+          .select(col("dst"), expr("rank DIV outdeg").as("c"))
+          .groupBy("dst").agg(sum("c").as("s"))
+        ranks = ranks
+          .join(contribs, ranks("id") === contribs("dst"), "left")
+          .select(col("id"),
+            (lit(15L * base / 100L) + expr("85 * coalesce(s, 0L) DIV 100")).as("rank"),
+            col("outdeg"))
+          .localCheckpoint(true) // truncate the per-iteration plan nesting
+      }
+      ranks.select("id", "rank")
+    } finally e.unpersist(false) // async: the returned ranks are already materialized
   }
 
   /** Connected components by min-label propagation: labels start as the
@@ -59,20 +71,25 @@ object Graph {
     * `connectedComponentsStar`, which converges in O(log n) rounds.
     * Returns (id, component). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
-    // undirected: propagate along both directions of every edge
+    // undirected: propagate along both directions of every edge —
+    // persisted once for the same reason as pageRank's edge persist (one
+    // materialization instead of `iters` lineage re-evaluations)
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
-    var labels = nodes.select(col("id"), col("id").as("component"))
-    (1 to iters).foreach { _ =>
-      val neighborMin = und
-        .join(labels, und("b") === labels("id"))
-        .groupBy("a").agg(min("component").as("nmin"))
-      labels = labels
-        .join(neighborMin, labels("id") === neighborMin("a"), "left")
-        .select(col("id"), least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .localCheckpoint(true) // truncate the per-iteration plan nesting
-    }
-    labels
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = nodes.select(col("id"), col("id").as("component"))
+      (1 to iters).foreach { _ =>
+        val neighborMin = und
+          .join(labels, und("b") === labels("id"))
+          .groupBy("a").agg(min("component").as("nmin"))
+        labels = labels
+          .join(neighborMin, labels("id") === neighborMin("a"), "left")
+          .select(col("id"), least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+          .localCheckpoint(true) // truncate the per-iteration plan nesting
+      }
+      labels
+    } finally und.unpersist(false)
   }
 
   /** Scale-path connected components: the published alternating
