@@ -25,18 +25,23 @@ object E2eBench {
     "/root/reference/tests/data/N43E007.hgt")
 
   /** Copy each fixture under `copies` distinct keys (N10..N{10+copies-1}),
-    * e.g. N10E006, N11E006... Terrain content identical to the originals. */
+    * e.g. N10E006, N11E006... Terrain content identical to the originals.
+    * Staged through core/Fs like everything executors later read: the
+    * bench fixture dir carries whatever scheme the deploy points it at. */
   private def replicate(dir: String, copies: Int): Seq[String] = {
-    new java.io.File(dir).mkdirs()
+    graft.core.Fs.mkdirs(dir)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     Fixtures.foreach { src =>
       val lonPart = src.split('/').last.substring(3, 7) // E006 / E007
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(src))
+      val bytes = graft.core.Fs.readAllBytes(src)
       (0 until copies).foreach { k =>
         val name = f"N${10 + k}%02d$lonPart%s.hgt"
-        val p = java.nio.file.Paths.get(dir, name)
-        if (!java.nio.file.Files.exists(p)) java.nio.file.Files.write(p, bytes)
-        out += p.toString
+        val p = s"$dir/$name"
+        if (graft.core.Fs.fileLength(p) != bytes.length.toLong) {
+          val o = graft.core.Fs.create(p)
+          try o.write(bytes) finally o.close()
+        }
+        out += p
       }
     }
     out.toSeq
@@ -65,8 +70,7 @@ object E2eBench {
       val report = RasterPipeline.runResumable(
         spark, files, outDir, cfg, format = graft.sinks.TileSink.PbfFormat)
       val wall = (System.nanoTime() - t0) / 1e9
-      val bytes = report.files.map(f => new java.io.File(
-        new java.net.URI(f).getPath).length()).sum
+      val bytes = report.files.map(graft.core.Fs.fileLength).sum
       println(f"[e2e rep$rep] ${report.tilesWritten} pbf tiles, ${bytes / 1e6}%.0f MB " +
         f"in $wall%.1f s = ${wall / report.tilesWritten}%.3f s/tile " +
         f"(${Fixtures.size * copies} input files, $cores cores)")
