@@ -89,7 +89,14 @@ object RasterPipeline {
     val ys = Array.tabulate(rows)(r => bbox.maxLat - r * latInc)
     Crs.toWgs84(epsg) match {
       case None => (xs, ys)
-      case Some(f) => (xs.map(x => f(x, 0.0)._1), ys.map(y => f(0.0, y)._2))
+      case Some(f) =>
+        // per-axis reprojection is only valid when lon = g(x), lat = h(y);
+        // transverse-Mercator sources mix axes, so clip polygons / --area
+        // (the sole consumers of these axes) stay loudly unsupported there
+        require(Crs.axisSeparable(epsg),
+          s"clip polygons/--area need an axis-separable source CRS; EPSG:$epsg is not " +
+            "(reproject the DEM to 4326/3857 first)")
+        (xs.map(x => f(x, 0.0)._1), ys.map(y => f(0.0, y)._2))
     }
   }
 
@@ -230,7 +237,9 @@ object RasterPipeline {
           // the emitted row bbox is the reprojected tile bbox
           val xf = Crs.toWgs84(tr.epsg)
           val tc = ContourGen.tileContours(gv, bbox, tr.lonInc, tr.latInc, cfg, scratch, xf)
-          val obox = xf.map(Crs.transformBBox(bbox, _)).getOrElse(bbox)
+          // envelope, not the strict aligned-rectangle transform: UTM tiles
+          // tilt under reprojection and the row bbox is naming metadata
+          val obox = xf.map(Crs.envelopeBBox(bbox, _)).getOrElse(bbox)
           val (oMinLon, oMinLat, oMaxLon, oMaxLat) =
             (obox.minLon, obox.minLat, obox.maxLon, obox.maxLat)
           tc.contours.iterator.flatMap { lc =>
@@ -401,7 +410,7 @@ object RasterPipeline {
       // via ContourRow's reprojected bbox)
       val boxes = ts.collect().map { t =>
         val b = BBox(t.minLon, t.minLat, t.maxLon, t.maxLat)
-        Crs.toWgs84(t.epsg).map(Crs.transformBBox(b, _)).getOrElse(b)
+        Crs.toWgs84(t.epsg).map(Crs.envelopeBBox(b, _)).getOrElse(b)
       }
       require(boxes.nonEmpty, "no tiles to write")
       val union = TileKeys.areaUnion(boxes.toSeq)

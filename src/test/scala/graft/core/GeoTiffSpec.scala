@@ -85,6 +85,64 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(rows.map(_.elevation).distinct.sorted.toSeq == Seq(0, 500, 1000, 1500))
   }
 
+  test("UTM 32N tiff (real Toulon terrain re-gridded) traces contours in WGS84") {
+    assume(available)
+    // build a transverse-Mercator-projected DEM the way a national lidar
+    // product ships: a uniform grid in UTM meters. Values are the real
+    // N43E006 terrain sampled (nearest-neighbour) at each UTM cell's
+    // lon/lat, so per-tile complexity is genuine.
+    val h = Hgt.decode(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(hgtPath)))
+    val (lo0, la0, lo1, la1) = (6.2, 43.2, 6.8, 43.8)
+    val corners = Seq((lo0, la0), (lo0, la1), (lo1, la1), (lo1, la0))
+      .map { case (lo, la) => Crs.wgs84ToUtm(lo, la, 32, north = true) }
+    // interior UTM rect (inside all four projected corners) keeps every
+    // cell's back-projection inside the sampled lon/lat window
+    val minX = corners.map(_._1).min + 500.0
+    val maxX = corners.map(_._1).max - 500.0
+    val minY = corners.map(_._2).min + 500.0
+    val maxY = corners.map(_._2).max - 500.0
+    val rows = 301; val cols = 301
+    val dx = (maxX - minX) / (cols - 1)
+    val dy = (maxY - minY) / (rows - 1)
+    val vals = Array.tabulate(rows * cols) { k =>
+      val r = k / cols; val c = k % cols
+      val (lon, lat) = Crs.utmToWgs84(minX + c * dx, maxY - r * dy, 32, north = true)
+      val hr = math.max(0, math.min(1200, math.round((44.0 - lat) * 1200.0).toInt))
+      val hc = math.max(0, math.min(1200, math.round((lon - 6.0) * 1200.0).toInt))
+      h.values(hr * 1201 + hc)
+    }
+    val bytes = buildTiff(rows, cols, vals, compression = 8, predictor = 2, tiled = false,
+      epsg = 32632, pixScale = (dx, dy), tiePoint = (minX, maxY))
+    val t = Tiff.decode(bytes)
+    assert(t.epsg == 32632)
+    val tmp = java.nio.file.Files.createTempFile("utm_toulon", ".tiff")
+    java.nio.file.Files.write(tmp, bytes)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("tiff-utm")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import graft.engine.RasterPipeline
+    val cfg = JobConfig(
+      contourStepSize = 500, maxNodesPerWay = 0, rdpEpsilon = None, maxNodesPerTile = 0)
+    val rs = RasterPipeline.contours(RasterPipeline.tiles(spark, Seq(tmp.toString), cfg), cfg)
+      .collect()
+    assert(rs.nonEmpty)
+    // every traced coordinate must come out reprojected to lon/lat inside
+    // the sampled window (not UTM meters)
+    rs.foreach { r =>
+      assert(r.minLon > 6.1 && r.maxLon < 6.9 && r.minLat > 43.1 && r.maxLat < 43.9,
+        s"row bbox not reprojected: ${(r.minLon, r.minLat, r.maxLon, r.maxLat)}")
+      var i = 0
+      while (i < r.coords.length) {
+        assert(r.coords(i) > 6.1 && r.coords(i) < 6.9, s"lon ${r.coords(i)}")
+        assert(r.coords(i + 1) > 43.1 && r.coords(i + 1) < 43.9, s"lat ${r.coords(i + 1)}")
+        i += 2
+      }
+    }
+    // the Toulon landscape's coarse levels all appear, like the 3857 twin
+    assert(rs.map(_.elevation).distinct.sorted.toSeq == Seq(0, 500, 1000, 1500))
+  }
+
   // ------------------------------------------------------------------
   // Tiled / compressed layout coverage: a minimal spec-conformant TIFF
   // ENCODER (strips or tiles; none/DEFLATE/TIFF-LZW; horizontal
@@ -144,7 +202,10 @@ class GeoTiffSpec extends AnyFunSuite {
   private def buildTiff(rows: Int, cols: Int, valsF: Array[Float],
       compression: Int, predictor: Int, tiled: Boolean,
       tw: Int = 64, th: Int = 48, rps: Int = 40,
-      bits: Int = 16, nodataTag: String = "-32768 "): Array[Byte] = {
+      bits: Int = 16, nodataTag: String = "-32768 ",
+      epsg: Int = 4326,
+      pixScale: (Double, Double) = (-1.0, -1.0),
+      tiePoint: (Double, Double) = (6.0, 44.0)): Array[Byte] = {
     def encSeg(segRows: Int, segW: Int, get: (Int, Int) => Float): Array[Byte] = {
       if (bits == 16) {
         val s = Array.tabulate(segRows * segW)(k => get(k / segW, k % segW).toInt.toShort)
@@ -196,13 +257,18 @@ class GeoTiffSpec extends AnyFunSuite {
     def dbl2bytes(v: Seq[Double]): Array[Byte] =
       v.flatMap { d => val l = java.lang.Double.doubleToLongBits(d)
         (0 until 8).map(i => ((l >> (8 * i)) & 0xff).toByte) }.toArray
-    val geoKeys = Seq(1, 1, 0, 1, 2048, 0, 1, 4326)
+    // geographic CRSs key 2048 (GeographicTypeGeoKey), projected 3072
+    val geoKeys =
+      if (epsg == 4326) Seq(1, 1, 0, 1, 2048, 0, 1, epsg)
+      else Seq(1, 1, 0, 1, 3072, 0, 1, epsg)
+    val (sx, sy) =
+      if (pixScale._1 > 0) pixScale else (1.0 / (cols - 1), 1.0 / (rows - 1))
     var tags = Seq(
       Tag(256, 4, 1, cols), Tag(257, 4, 1, rows), Tag(258, 3, 1, bits),
       Tag(259, 3, 1, compression), Tag(277, 3, 1, 1), Tag(317, 3, 1, predictor),
       Tag(339, 3, 1, if (bits == 16) 2 else 3),
-      Tag(33550, 12, 3, heap = dbl2bytes(Seq(1.0 / (cols - 1), 1.0 / (rows - 1), 0))),
-      Tag(33922, 12, 6, heap = dbl2bytes(Seq(0, 0, 0, 6.0, 44.0, 0))),
+      Tag(33550, 12, 3, heap = dbl2bytes(Seq(sx, sy, 0))),
+      Tag(33922, 12, 6, heap = dbl2bytes(Seq(0, 0, 0, tiePoint._1, tiePoint._2, 0))),
       Tag(34735, 3, 8, heap = shorts2bytes(geoKeys)),
       Tag(42113, 2, nodataTag.length, heap = nodataTag.getBytes("US-ASCII")))
     val counts = segs.map(_.length.toLong)
