@@ -81,6 +81,58 @@ final class LocalDirSource(val nickname: String = "locl") extends DemSource {
   }
 }
 
+/** Shared multi-tile ZIP extraction: every .hgt member lands in `dir`
+  * through the Hadoop FS (cache may live on any scheme) with a
+  * per-attempt unique tmp + no-clobber publish. A shared tmp name would
+  * let Fs.create truncate a concurrent task's in-progress extraction and
+  * publish a zero-filled .hgt that still passes the size check; losing
+  * the publish race is fine iff the winner's file validates. Returns the
+  * member keys seen in the archive (cached-valid members included —
+  * they're skipped, not re-extracted). */
+private[sources] object ZipHgt {
+  def extractAll(archive: String, dir: String, valid: String => Boolean): Seq[String] = {
+    graft.core.Fs.mkdirs(dir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.BufferedInputStream(graft.core.Fs.open(archive), 1 << 16))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        val name = e.getName.split('/').last
+        val dst = s"$dir/$name"
+        if (!e.isDirectory && name.endsWith(".hgt")) {
+          seen += name.stripSuffix(".hgt")
+          if (!valid(dst)) {
+            val tmp = s"$dir/.$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp"
+            val out = graft.core.Fs.create(tmp)
+            try {
+              val buf = new Array[Byte](1 << 16)
+              var n = zin.read(buf)
+              while (n >= 0) {
+                if (n > 0) out.write(buf, 0, n)
+                n = zin.read(buf)
+              }
+            } finally out.close()
+            // no-clobber publish: local FS atomically replaces with
+            // identical content; HDFS-style FSes fail when a concurrent
+            // task already published. (A delete-then-rename here would
+            // transiently delete the winner's live file under a reader.)
+            try graft.core.Fs.renameNoClobber(tmp, dst)
+            catch {
+              case ex: java.io.IOException =>
+                graft.core.Fs.delete(tmp)
+                if (!valid(dst)) throw ex
+            }
+          }
+        }
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    seen.toSeq
+  }
+}
+
 /** Archive-mirror source: the downloader shape of the reference's
   * viewfinder/ALOS sources (sources/viewfinder.py, sources/alos.py) minus
   * the network — tiles ship in multi-tile ZIP archives named by their
@@ -188,46 +240,7 @@ final class ArchiveSource(
       graft.core.Fs.delete(indexPath(cacheRoot, resolution))
       resolveArchive(catalogue(cacheRoot, resolution))
     }.getOrElse(return None)
-    graft.core.Fs.mkdirs(dir)
-    val zin = new java.util.zip.ZipInputStream(
-      new java.io.BufferedInputStream(graft.core.Fs.open(archive), 1 << 16))
-    try {
-      var e = zin.getNextEntry
-      while (e != null) {
-        val name = e.getName.split('/').last
-        val dst = s"$dir/$name"
-        // skip members another concurrent task already published: a shared
-        // tmp name would let Fs.create truncate an in-progress extraction
-        // and publish a zero-filled .hgt that still passes the size check
-        if (!e.isDirectory && name.endsWith(".hgt") && !validCached(dst, resolution)) {
-          // extract through the Hadoop FS (cache may live on any scheme):
-          // per-attempt unique tmp + rename, the whole group paid for once
-          val tmp = s"$dir/.$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp"
-          val out = graft.core.Fs.create(tmp)
-          try {
-            val buf = new Array[Byte](1 << 16)
-            var n = zin.read(buf)
-            while (n >= 0) {
-              if (n > 0) out.write(buf, 0, n)
-              n = zin.read(buf)
-            }
-          } finally out.close()
-          // no-clobber publish: local FS atomically replaces with identical
-          // content; HDFS-style FSes fail when a concurrent task already
-          // published — fine iff the winner's file validates. (A
-          // delete-then-rename here would transiently delete the winner's
-          // live file under a reader.)
-          try graft.core.Fs.renameNoClobber(tmp, dst)
-          catch {
-            case e: java.io.IOException =>
-              graft.core.Fs.delete(tmp)
-              if (!validCached(dst, resolution)) throw e
-          }
-        }
-        zin.closeEntry()
-        e = zin.getNextEntry
-      }
-    } finally zin.close()
+    ZipHgt.extractAll(archive, dir, validCached(_, resolution))
     if (validCached(cached, resolution)) Some(cached) else None
   }
 
@@ -356,7 +369,11 @@ object Sources {
   // multi-tile zip archives (archive-mirror shape; ALOS is 1" only,
   // alos.py:63), srtm and sonny are per-tile downloads (read-only
   // provisioned-cache shape under the zero-egress mandate)
-  register(new ArchiveSource(mirror("SPARK_GRAFT_VIEW_MIRROR"), "view"))
+  // viewfinder resolves tiles through its coverage-map zone index when a
+  // coverage HTML is provisioned (SPARK_GRAFT_VIEW_COVERAGE), falling
+  // back to the plain archive catalogue otherwise
+  register(new ViewfinderSource(mirror("SPARK_GRAFT_VIEW_MIRROR"),
+    sys.env.get("SPARK_GRAFT_VIEW_COVERAGE")))
   register(new ArchiveSource(mirror("SPARK_GRAFT_ALOS_MIRROR"), "alos", Seq(1)))
   // per-tile sources: serve from cache first; fetch single tiles through
   // a URI template against any Hadoop-FS base when one is provisioned

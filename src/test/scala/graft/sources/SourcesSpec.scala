@@ -114,7 +114,8 @@ class SourcesSpec extends AnyFunSuite {
     assert(parsed.map(_._1.nickname) == Seq("view", "view", "srtm", "sonn", "alos"))
     // ALOS is 1-arcsecond only (reference alos.py:63)
     assertThrows[IllegalArgumentException](Sources.parsePreference(Seq("alos3")))
-    assert(Sources.get("view").get.isInstanceOf[ArchiveSource])
+    assert(Sources.get("view").get.isInstanceOf[ViewfinderSource])
+    assert(Sources.get("alos").get.isInstanceOf[ArchiveSource])
     assert(Sources.get("srtm").get.isInstanceOf[UriTemplateSource])
     // a provisioned SRTM1 cache serves through the reference nickname
     val root = java.nio.file.Files.createTempDirectory("srtmroot").toString
@@ -193,6 +194,71 @@ class SourcesSpec extends AnyFunSuite {
     val cached = s"$cacheRoot/ARCH3/N43E006.hgt"
     new java.io.File(cached).delete()
     assert(arch3.fetch(cacheRoot, "N43E006", 3).contains(cached))
+  }
+
+  test("viewfinder coverage map parses to the reference's own index expectations") {
+    // the reference's HTML fixture + pinned assertions
+    // (tests/sources/test_viewfinder.py: test_init_from_web, test_load)
+    val htmlPath = "/root/reference/tests/data/coverage_map_viewfinderpanoramas_org3.htm"
+    assume(new java.io.File(htmlPath).isFile)
+    val entries = Viewfinder.parseCoverageMap(graft.core.Fs.readString(htmlPath))
+    val rendered = Viewfinder.render(entries, 3)
+    assert(rendered.contains(
+      "# VIEW3 index file, VERSION=4\n[http://viewfinderpanoramas.org/A21.zip]\nN00W055\nN00W056\n"))
+    assert(rendered.contains(
+      "[http://viewfinderpanoramas.org/dem3/U47.zip]\nN80E096\nN80E097\nN80E098\nN80E099\nN80E100\n"))
+    assert(entries("http://viewfinderpanoramas.org/A21.zip") == Seq(
+      "N00W055", "N00W056", "N00W057", "N00W058", "N00W059", "N00W060",
+      "N01W055", "N01W056", "N01W057", "N01W058", "N01W059", "N01W060",
+      "N02W055", "N02W056", "N02W057", "N02W058", "N02W059", "N02W060",
+      "N03W055", "N03W056", "N03W057", "N03W058", "N03W059", "N03W060"))
+    // round-trips through the persisted text format
+    assert(Viewfinder.parseIndex(rendered) == entries)
+    // the reference's shipped index file loads in the same format
+    val idxPath = "/root/reference/tests/data/viewfinderHgtIndex_3.txt"
+    assume(new java.io.File(idxPath).isFile)
+    val loaded = Viewfinder.parseIndex(graft.core.Fs.readString(idxPath))
+    assert(loaded.size == 1127)
+    assert(loaded.contains("http://viewfinderpanoramas.org/dem3/U21.zip"))
+    assert(loaded("http://viewfinderpanoramas.org/A21.zip").startsWith(Seq("N00W055", "N00W056")))
+  }
+
+  test("viewfinder source resolves an area through the coverage index e2e") {
+    val htmlPath = "/root/reference/tests/data/coverage_map_viewfinderpanoramas_org3.htm"
+    assume(new java.io.File(htmlPath).isFile)
+    val mirror = java.nio.file.Files.createTempDirectory("vfmirror").toString
+    val cacheRoot = java.nio.file.Files.createTempDirectory("vfcache").toString
+    val scratch = java.nio.file.Files.createTempDirectory("vfscratch").toString
+    // provision the mirror with A21.zip (named by the coverage href's
+    // basename) holding one real-shaped member of that zone
+    val syn = new SynthSource
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(s"$mirror/A21.zip"))
+    try {
+      val p = syn.fetch(scratch, "N01W056", 3).get
+      zos.putNextEntry(new java.util.zip.ZipEntry("N01W056.hgt"))
+      zos.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+      zos.closeEntry()
+    } finally zos.close()
+    val vf = new ViewfinderSource(mirror, Some(htmlPath))
+    // HTML -> persisted index -> candidate zips -> extract -> validate
+    val got = vf.fetch(cacheRoot, "N01W056", 3)
+    assert(got.contains(s"$cacheRoot/VIEW3/N01W056.hgt"))
+    assert(new java.io.File(s"$cacheRoot/VIEW3/N01W056.hgt").length == 2L * 1201 * 1201)
+    val idxFile = s"$cacheRoot/VIEW3/viewfinderHgtIndex_3.txt"
+    assert(new java.io.File(idxFile).isFile, "index persisted in the reference format")
+    // self-correction: the zone was optimistic (24 areas) but the archive
+    // held one tile — the index now records the actual coverage
+    val idx = Viewfinder.parseIndex(graft.core.Fs.readString(idxFile))
+    assert(idx("http://viewfinderpanoramas.org/A21.zip") == Seq("N01W056"))
+    // a sea tile of the same zone: candidate zip is consulted, found
+    // lacking, and the fetch falls through without error
+    assert(vf.fetch(cacheRoot, "N02W057", 3).isEmpty)
+    // areas outside every zone fall through too
+    assert(vf.fetch(cacheRoot, "N43E006", 3).isEmpty)
+    // without a coverage map the source keeps the plain archive shape
+    val plain = new ViewfinderSource(mirror, None)
+    assert(plain.fetch(java.nio.file.Files.createTempDirectory("vfc2").toString,
+      "N10E110", 3).isEmpty)
   }
 
   test("rewriteIndices force-rebuilds a corrupt persisted catalogue") {
