@@ -68,6 +68,51 @@ object Streaming {
       }
   }
 
+  /** Production sessionization twin of `sessionize` (the q41 operator):
+    * the built-in `session_window` aggregation under an event-time
+    * watermark, so session state MERGES in the store and is EVICTED when
+    * the watermark passes a session's close — the only sessionization
+    * shape that survives an unbounded ingest stream (sessionize's
+    * flatMapGroupsWithState keeps one state row per user forever and
+    * re-sorts each group's batch iterator).
+    *
+    * Gap semantics match the gate exactly: q05/q41 truncate event time to
+    * SECONDS and open a new session when the gap is STRICTLY > 1800 s
+    * (= 1800 continues). session_window(t, gap) merges an event while
+    * t < prev + gap, so over second-truncated times the equal-semantics
+    * gap is 1801 s. Emits one row per FINALIZED session in append mode:
+    * (user_id, session_start, session_end, n_events); per-user rollups
+    * (q41's n_sessions/n_events) are a batch agg over the sink table. */
+  def sessionWindows(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", date_trunc("second", col("ts").cast("timestamp")))
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), "1801 seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
+  /** Deploy topology for session windows: file source -> watermarked
+    * session_window agg -> append-mode parquet sink with a checkpoint
+    * (same exactly-once restart story as hourlyToParquetSink). */
+  def sessionsToParquetSink(
+      spark: SparkSession,
+      eventsDir: String,
+      outDir: String,
+      checkpointDir: String,
+      watermark: String = "2 hours"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(eventsDir)
+    sessionWindows(stream, watermark).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+  }
+
   /** Production-shaped sink path: file source (one file per micro-batch)
     * -> event-time watermark -> tumbling-window agg -> APPEND-mode parquet
     * file sink with a checkpoint. This is the deploy topology (the

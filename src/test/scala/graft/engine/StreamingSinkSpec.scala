@@ -147,6 +147,71 @@ class StreamingSinkSpec extends AnyFunSuite {
     assert(after == Seq(100L, 101L), s"got $after")
   }
 
+  test("session_window production twin equals the q41 sessionize on the gate replay") {
+    import spark.implicits._
+    val eventsPath = "/root/testdata/sf0.001/events.parquet"
+    // batch form of the production operator over the full gate input
+    val perUser = Streaming.sessionWindows(spark.read.parquet(eventsPath))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // the q41 gate path (flatMapGroupsWithState sessionize as a stream)
+    val gate = Streaming.sessionizeStream(spark, eventsPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(perUser == gate, "session_window sessions diverge from the gate operator")
+  }
+
+  test("session_window stream finalizes sessions via the watermark and drops late events") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sswin").toString
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+    def writeEvents(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val tmp = s"$base/tmp_$name"
+      rows.toDF("event_id", "ts_s", "user_id")
+        .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"), col("user_id"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+    // user 1: two sessions (gap > 30 min); user 2: one session spanning
+    // both micro-batches (state must MERGE across batches)
+    writeEvents("b1", Seq(
+      (1L, "2024-01-01 10:00:00", 1L),
+      (2L, "2024-01-01 10:10:00", 1L),
+      (3L, "2024-01-01 10:20:00", 2L)))
+    writeEvents("b2", Seq(
+      (4L, "2024-01-01 10:40:00", 2L), // merges with 3 (20 min gap)
+      (5L, "2024-01-01 12:00:00", 1L))) // new session for 1 (>30 min gap)
+    val schema = spark.read.parquet(srcDir).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val qn = "sswin_test"
+    val q = Streaming.sessionWindows(stream(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName(qn).outputMode("append").start()
+    def emitted() = spark.table(qn)
+      .select("user_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    try {
+      q.processAllAvailable()
+      // watermark = 12:00 - 30min = 11:30: both 10:xx sessions closed
+      // (ends 10:10+1801s and 10:40+1801s < 11:30) -> finalized + evicted;
+      // the 12:00 session is still open in the store
+      assert(emitted() == Seq((1L, 2L), (2L, 2L)), s"got ${emitted()}")
+      // a LATE event inside user 1's finalized first session: behind the
+      // watermark, dropped on input — the emitted session must NOT change
+      // (its state is gone; reprocessing would double-count)
+      writeEvents("b3", Seq(
+        (6L, "2024-01-01 10:05:00", 1L),
+        (7L, "2024-01-01 14:00:00", 3L))) // advances the watermark to 13:30
+      q.processAllAvailable()
+      assert(emitted() == Seq((1L, 1L), (1L, 2L), (2L, 2L)),
+        s"late event altered finalized sessions: ${emitted()}")
+    } finally q.stop()
+  }
+
   test("stream-stream join: watermark bounds state, late purchases drop") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("ssjoin").toString
