@@ -1140,15 +1140,17 @@ object Queries {
         .agg(count(lit(1)).as("n_records"),
           countDistinct(col("url")).as("n_urls"),
           sum("html_chars").as("total_chars"),
-          // sum DELTAS from the crawl epoch: absolute epoch-micros sums
-          // overflow Long past ~5400 rows
-          sum(unix_micros(col("warc_ts")) - lit(1704067200000000L)).as("ts_delta_sum"))
+          // ORDER-INDEPENDENT, OVERFLOW-FREE timestamp check: xor of the
+          // epoch-micro deltas. (The previous delta SUM overflowed Long
+          // once replicated ids reached ~1e9 at sf1; xor still detects
+          // any per-row ts corruption, at ANY scale.)
+          bit_xor(unix_micros(col("warc_ts")) - lit(1704067200000000L)).as("ts_delta_xor"))
     },
     Some("""SELECT count(*) AS n_records,
            | count(DISTINCT 'https://site' || (doc_id % 97) || '.example/page/' || doc_id) AS n_urls,
            | CAST(sum(61 + length('https://site' || (doc_id % 97) || '.example/page/' || doc_id)
            |   + length(replace(replace(text, '&', '&amp;'), '<', '&lt;'))) AS BIGINT) AS total_chars,
-           | CAST(sum(doc_id * 1000000) AS BIGINT) AS ts_delta_sum
+           | bit_xor(CAST(doc_id * 1000000 AS BIGINT)) AS ts_delta_xor
            |FROM documents""".stripMargin))
 
   // --------------------------------------------------------------- embeddings ---
@@ -1356,21 +1358,31 @@ object Queries {
 
   private val qPricing = Q(
     "q01_pricing_agg",
-    (s, dir) =>
+    (s, dir) => {
+      // exact integer-cents money sums (the q07/q08 rule, applied here
+      // after the sf1 scale-up exposed the margin): a 10^7-row double sum
+      // reaches magnitudes where its accumulated summation-order error
+      // crosses the round(.,4) decimal, so cross-engine hash equality
+      // becomes a coin flip exactly at the scales that matter. Quantities
+      // are integer-valued doubles (sums exact) and stay as-is.
+      val baseCents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val discCents =
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5).cast("long")
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          (sum(baseCents) / 100.0).as("sum_base_price"),
+          (sum(discCents) / 100.0).as("sum_disc_price"),
           round(avg("l_quantity"), 6).as("avg_qty"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus"),
+        .orderBy("l_returnflag", "l_linestatus")
+    },
     Some("""SELECT l_returnflag, l_linestatus,
            | round(sum(l_quantity), 4) AS sum_qty,
-           | round(sum(l_extendedprice), 4) AS sum_base_price,
-           | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           | CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+           | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price,
            | round(avg(l_quantity), 6) AS avg_qty,
            | count(*) AS count_order
            |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1382,14 +1394,18 @@ object Queries {
       val orders = t(s, dir, "orders")
       val cust = t(s, dir, "customer")
       val nation = t(s, dir, "nation")
+      // integer-cents revenue (q07/q08 rule) — scale-proof sums
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
       orders
         .join(cust, orders("o_custkey") === cust("c_custkey"))
         .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
         .groupBy("n_name")
-        .agg(round(sum("o_totalprice"), 4).as("revenue"), count(lit(1)).as("n_orders"))
+        .agg((sum(cents) / 100.0).as("revenue"), count(lit(1)).as("n_orders"))
         .orderBy(col("revenue").desc, col("n_name").asc)
     },
-    Some("""SELECT n_name, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+    Some("""SELECT n_name,
+           | CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+           | count(*) AS n_orders
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |JOIN nation ON c_nationkey = n_nationkey
            |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin))
@@ -1412,10 +1428,14 @@ object Queries {
   private val qRollup = Q(
     "q04_priority_rollup",
     (s, dir) =>
+      // integer-cents total (q07/q08 rule): the rollup's grand-total row
+      // sums EVERY order into one double — the first gate to flip when
+      // the sf1 scale-up pushed sums past the round(.,4) error margin
       t(s, dir, "orders")
         .withColumn("yr", year(col("o_orderdate")))
+        .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
         .rollup("yr", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+        .agg(count(lit(1)).as("n"), (sum("cents") / 100.0).as("total"))
         .select(
           coalesce(col("yr"), lit(-1)).as("yr"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -1423,7 +1443,8 @@ object Queries {
           col("total"))
         .orderBy("yr", "priority"),
     Some("""SELECT coalesce(yr, -1) AS yr, coalesce(o_orderpriority, 'ALL') AS priority,
-           | count(*) AS n, round(sum(o_totalprice), 4) AS total
+           | count(*) AS n,
+           | CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total
            |FROM (SELECT year(o_orderdate) AS yr, o_orderpriority, o_totalprice FROM orders)
            |GROUP BY ROLLUP (yr, o_orderpriority) ORDER BY 1, 2""".stripMargin))
 
