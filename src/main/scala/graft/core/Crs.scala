@@ -116,6 +116,67 @@ object Crs {
   private def atanh(x: Double): Double = 0.5 * math.log((1.0 + x) / (1.0 - x))
   private def asinh(x: Double): Double = math.log(x + math.hypot(1.0, x))
 
+  // ------------------------------------------------- Lambert-93 (LCC) ---
+  // EPSG:2154 — the French national grid (RGF93 / Lambert conformal conic,
+  // 2 standard parallels), the CRS IGN's RGE ALTI lidar DEMs ship in.
+  // Ellipsoidal LCC-2SP closed forms per Snyder, "Map Projections — A
+  // Working Manual", pp. 107-109 (public). GRS80 ellipsoid.
+  private object Lcc93 {
+    val A = 6378137.0
+    val F = 1.0 / 298.257222101 // GRS80
+    val E2 = F * (2.0 - F)
+    val E = math.sqrt(E2)
+    val Lat0 = math.toRadians(46.5)
+    val Lon0 = math.toRadians(3.0)
+    val Lat1 = math.toRadians(44.0)
+    val Lat2 = math.toRadians(49.0)
+    val FE = 700000.0
+    val FN = 6600000.0
+    def m(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1.0 - E2 * s * s)
+    }
+    def t(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4.0 - phi / 2.0) /
+        math.pow((1.0 - E * s) / (1.0 + E * s), E / 2.0)
+    }
+    val N = (math.log(m(Lat1)) - math.log(m(Lat2))) / (math.log(t(Lat1)) - math.log(t(Lat2)))
+    val Fc = m(Lat1) / (N * math.pow(t(Lat1), N))
+    val Rho0 = A * Fc * math.pow(t(Lat0), N)
+  }
+
+  /** (lon, lat) degrees -> (easting, northing) meters in EPSG:2154. */
+  def wgs84ToLambert93(lon: Double, lat: Double): (Double, Double) = {
+    import Lcc93._
+    val rho = A * Fc * math.pow(t(math.toRadians(lat)), N)
+    val gamma = N * (math.toRadians(lon) - Lon0)
+    (FE + rho * math.sin(gamma), FN + Rho0 - rho * math.cos(gamma))
+  }
+
+  /** (easting, northing) meters in EPSG:2154 -> (lon, lat) degrees. */
+  def lambert93ToWgs84(x: Double, y: Double): (Double, Double) = {
+    import Lcc93._
+    val dx = x - FE
+    val dy = Rho0 - (y - FN)
+    val rho = math.signum(N) * math.hypot(dx, dy)
+    val tP = math.pow(rho / (A * Fc), 1.0 / N)
+    val theta = math.atan2(dx, dy)
+    val lon = theta / N + Lon0
+    // fixed-point iteration for phi (Snyder eq. 7-9; converges in ~4 steps)
+    var phi = math.Pi / 2.0 - 2.0 * math.atan(tP)
+    var i = 0
+    var prev = Double.NaN
+    while (i < 10 && phi != prev) {
+      prev = phi
+      val s = math.sin(phi)
+      phi = math.Pi / 2.0 - 2.0 * math.atan(
+        tP * math.pow((1.0 - E * s) / (1.0 + E * s), E / 2.0))
+      i += 1
+    }
+    (math.toDegrees(lon), math.toDegrees(phi))
+  }
+
   /** (x, y) in EPSG:3857 meters -> (lon, lat) degrees. */
   def mercatorToWgs84(x: Double, y: Double): (Double, Double) = {
     val lon = math.toDegrees(x / EarthRadius)
@@ -139,9 +200,12 @@ object Crs {
       Some((x, y) => utmToWgs84(x, y, z - 32600, north = true))
     case z if z >= 32701 && z <= 32760 =>
       Some((x, y) => utmToWgs84(x, y, z - 32700, north = false))
+    // RGF93 (Lambert-93's datum) is coincident with WGS84 at cm level —
+    // the same null-datum treatment pyproj applies at this accuracy
+    case 2154 => Some(lambert93ToWgs84)
     case other =>
       throw new IllegalArgumentException(
-        s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM)")
+        s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM, 2154 Lambert-93)")
   }
 
   /** Reverse transform (WGS84 -> source CRS), the reference's
@@ -153,9 +217,10 @@ object Crs {
       Some((lon, lat) => wgs84ToUtm(lon, lat, z - 32600, north = true))
     case z if z >= 32701 && z <= 32760 =>
       Some((lon, lat) => wgs84ToUtm(lon, lat, z - 32700, north = false))
+    case 2154 => Some(wgs84ToLambert93)
     case other =>
       throw new IllegalArgumentException(
-        s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM)")
+        s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM, 2154 Lambert-93)")
   }
 
   /** True when lon depends only on x and lat only on y under toWgs84 —

@@ -85,17 +85,20 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(rows.map(_.elevation).distinct.sorted.toSeq == Seq(0, 500, 1000, 1500))
   }
 
-  test("UTM 32N tiff (real Toulon terrain re-gridded) traces contours in WGS84") {
-    assume(available)
-    // build a transverse-Mercator-projected DEM the way a national lidar
-    // product ships: a uniform grid in UTM meters. Values are the real
-    // N43E006 terrain sampled (nearest-neighbour) at each UTM cell's
-    // lon/lat, so per-tile complexity is genuine.
+  /** Projected-DEM pipeline e2e shared by the UTM and Lambert-93 twins:
+    * build a uniform grid in projected meters (the way national lidar
+    * products ship) carrying the REAL N43E006 terrain sampled
+    * nearest-neighbour at each cell's back-projected lon/lat, encode it
+    * as a GeoTIFF with the given EPSG, and require the traced contours to
+    * come out reprojected to lon/lat inside the sampled window. */
+  private def projectedToulonE2e(
+      name: String, epsg: Int,
+      fwd: (Double, Double) => (Double, Double),
+      inv: (Double, Double) => (Double, Double)): Unit = {
     val h = Hgt.decode(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(hgtPath)))
     val (lo0, la0, lo1, la1) = (6.2, 43.2, 6.8, 43.8)
-    val corners = Seq((lo0, la0), (lo0, la1), (lo1, la1), (lo1, la0))
-      .map { case (lo, la) => Crs.wgs84ToUtm(lo, la, 32, north = true) }
-    // interior UTM rect (inside all four projected corners) keeps every
+    val corners = Seq((lo0, la0), (lo0, la1), (lo1, la1), (lo1, la0)).map(fwd.tupled)
+    // interior projected rect (inside all four corners) keeps every
     // cell's back-projection inside the sampled lon/lat window
     val minX = corners.map(_._1).min + 500.0
     val maxX = corners.map(_._1).max - 500.0
@@ -106,19 +109,19 @@ class GeoTiffSpec extends AnyFunSuite {
     val dy = (maxY - minY) / (rows - 1)
     val vals = Array.tabulate(rows * cols) { k =>
       val r = k / cols; val c = k % cols
-      val (lon, lat) = Crs.utmToWgs84(minX + c * dx, maxY - r * dy, 32, north = true)
+      val (lon, lat) = inv(minX + c * dx, maxY - r * dy)
       val hr = math.max(0, math.min(1200, math.round((44.0 - lat) * 1200.0).toInt))
       val hc = math.max(0, math.min(1200, math.round((lon - 6.0) * 1200.0).toInt))
       h.values(hr * 1201 + hc)
     }
     val bytes = buildTiff(rows, cols, vals, compression = 8, predictor = 2, tiled = false,
-      epsg = 32632, pixScale = (dx, dy), tiePoint = (minX, maxY))
+      epsg = epsg, pixScale = (dx, dy), tiePoint = (minX, maxY))
     val t = Tiff.decode(bytes)
-    assert(t.epsg == 32632)
-    val tmp = java.nio.file.Files.createTempFile("utm_toulon", ".tiff")
+    assert(t.epsg == epsg)
+    val tmp = java.nio.file.Files.createTempFile(name, ".tiff")
     java.nio.file.Files.write(tmp, bytes)
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[4]").appName("tiff-utm")
+      .master("local[4]").appName(s"tiff-$name")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     import graft.engine.RasterPipeline
@@ -127,8 +130,6 @@ class GeoTiffSpec extends AnyFunSuite {
     val rs = RasterPipeline.contours(RasterPipeline.tiles(spark, Seq(tmp.toString), cfg), cfg)
       .collect()
     assert(rs.nonEmpty)
-    // every traced coordinate must come out reprojected to lon/lat inside
-    // the sampled window (not UTM meters)
     rs.foreach { r =>
       assert(r.minLon > 6.1 && r.maxLon < 6.9 && r.minLat > 43.1 && r.maxLat < 43.9,
         s"row bbox not reprojected: ${(r.minLon, r.minLat, r.maxLon, r.maxLat)}")
@@ -141,6 +142,18 @@ class GeoTiffSpec extends AnyFunSuite {
     }
     // the Toulon landscape's coarse levels all appear, like the 3857 twin
     assert(rs.map(_.elevation).distinct.sorted.toSeq == Seq(0, 500, 1000, 1500))
+  }
+
+  test("UTM 32N tiff (real Toulon terrain re-gridded) traces contours in WGS84") {
+    assume(available)
+    projectedToulonE2e("utm_toulon", 32632,
+      (lo, la) => Crs.wgs84ToUtm(lo, la, 32, north = true),
+      (x, y) => Crs.utmToWgs84(x, y, 32, north = true))
+  }
+
+  test("Lambert-93 tiff (real Toulon terrain re-gridded) traces contours in WGS84") {
+    assume(available)
+    projectedToulonE2e("lcc_toulon", 2154, Crs.wgs84ToLambert93, Crs.lambert93ToWgs84)
   }
 
   // ------------------------------------------------------------------
