@@ -1649,6 +1649,85 @@ object Queries {
            | AS t(tile_idx, n_rows, n_cols, min_lon, min_lat, max_lon, max_lat, min_elev, max_elev)
            |ORDER BY tile_idx""".stripMargin))
 
+  /** The production session_window operator (engine/Streaming.scala) in
+    * its batch form, gated against a lag/cumulative-flag oracle: per-user
+    * session count and totals plus the first/last event instants
+    * recovered from the window bounds (session start = first event ts;
+    * session end = last event + the 1800 s merge gap). This gate is what
+    * pinned Spark's INCLUSIVE merge semantics (diff <= gap): sf0.01
+    * carries a real truncated gap of exactly 1801 s, which a 1801 s
+    * window wrongly merged and the 1800 s window correctly splits. */
+  private val qSessionWindow = Q(
+    "q55_session_window",
+    (s, dir) =>
+      Streaming.sessionWindows(t(s, dir, "events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_events").as("n_events"),
+          unix_timestamp(min("session_start")).as("first_start"),
+          (unix_timestamp(max("session_end")) - lit(1800L)).as("last_event"))
+        .orderBy("user_id"),
+    Some("""WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts FROM events),
+           | f AS (SELECT user_id, ts,
+           |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           |   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) > 1800
+           |  THEN 1 ELSE 0 END AS new_s
+           |  FROM e)
+           |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events,
+           | CAST(floor(min(epoch(ts))) AS BIGINT) AS first_start,
+           | CAST(floor(max(epoch(ts))) AS BIGINT) AS last_event
+           |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** Pinned projection goldens for q56 (generated from the typed-map run,
+    * quantized to integers — see qCrsProject scaladoc). */
+  private val CrsProjectOracleSql: String =
+    """SELECT CAST(pt_id AS BIGINT) AS pt_id,
+      | CAST(utm_e_tmm AS BIGINT) AS utm_e_tmm, CAST(utm_n_tmm AS BIGINT) AS utm_n_tmm,
+      | CAST(l93_e_tmm AS BIGINT) AS l93_e_tmm, CAST(l93_n_tmm AS BIGINT) AS l93_n_tmm,
+      | CAST(rt_err_ndeg AS BIGINT) AS rt_err_ndeg
+      |FROM (VALUES
+      | (0, 2572945472, 47706778222, 9462010661, 62214518662, 0),
+      | (1, 2632273841, 47771411725, 9516438441, 62283386094, 0),
+      | (2, 2691493001, 47836092886, 9570746190, 62352296091, 0),
+      | (3, 2750602790, 47900821745, 9624933874, 62421248562, 0),
+      | (4, 2809603046, 47965598338, 9679001462, 62490243418, 0),
+      | (5, 2868493604, 48030422701, 9732948919, 62559280569, 0),
+      | (6, 2927274302, 48095294870, 9786776215, 62628359927, 0),
+      | (7, 2985944975, 48160214878, 9840483315, 62697481401, 0),
+      | (8, 3044505458, 48225182758, 9894070188, 62766644903, 0),
+      | (9, 3102955587, 48290198544, 9947536800, 62835850342, 0),
+      | (10, 3161295195, 48355262264, 10000883118, 62905097631, 0),
+      | (11, 3219524116, 48420373950, 10054109110, 62974386680, 0)
+      |) AS t(pt_id, utm_e_tmm, utm_n_tmm, l93_e_tmm, l93_n_tmm, rt_err_ndeg)
+      |ORDER BY pt_id""".stripMargin
+
+  /** Projection-series golden: forward UTM-32N + Lambert-93 coordinates
+    * of a deterministic probe lattice over the Toulon window, quantized
+    * to tenth-millimeter INTEGERS (6+ orders of magnitude above any JVM
+    * trig ulp drift, so the literals are portable), plus round-trip
+    * closure in integer nanodegrees (must be 0). Runs as a typed Spark
+    * map like every kernel; the oracle pins the values. */
+  private val qCrsProject = Q(
+    "q56_crs_project",
+    (s, dir) => {
+      import s.implicits._
+      val pts = (0 until 12).map(i => (i.toLong, 6.02 + 0.07 * i, 43.05 + 0.06 * i))
+      pts.toDF("pt_id", "lon", "lat").as[(Long, Double, Double)]
+        .map { case (id, lon, lat) =>
+          val (ue, un) = graft.core.Crs.wgs84ToUtm(lon, lat, 32, north = true)
+          val (le, ln) = graft.core.Crs.wgs84ToLambert93(lon, lat)
+          val (ulon, ulat) = graft.core.Crs.utmToWgs84(ue, un, 32, north = true)
+          val (llon, llat) = graft.core.Crs.lambert93ToWgs84(le, ln)
+          val err = Seq(ulon - lon, ulat - lat, llon - lon, llat - lat).map(math.abs).max
+          (id, math.rint(ue * 10000).toLong, math.rint(un * 10000).toLong,
+            math.rint(le * 10000).toLong, math.rint(ln * 10000).toLong,
+            math.round(err * 1e9))
+        }
+        .toDF("pt_id", "utm_e_tmm", "utm_n_tmm", "l93_e_tmm", "l93_n_tmm", "rt_err_ndeg")
+        .orderBy("pt_id")
+    },
+    Some(CrsProjectOracleSql))
+
   val all: Seq[Q] = Seq(
     qPricing, qNationRevenue, qTopOrders, qRollup, qSessions, qEventHours,
     qBrandRevenue, qRegionSupplier,
@@ -1660,5 +1739,6 @@ object Queries {
     qDomainCap, qRepetition, qDecontam, qSplit, qLengthHist, qPageRank, qDupClusters,
     qWarcIngest,
     qEmbStats, qAnn, qCentroids, qIvf, qEmbNearDup, qQuantize,
-    qContourGolden, qChopGolden)
+    qContourGolden, qChopGolden,
+    qSessionWindow, qCrsProject)
 }

@@ -78,16 +78,19 @@ object Streaming {
     *
     * Gap semantics match the gate exactly: q05/q41 truncate event time to
     * SECONDS and open a new session when the gap is STRICTLY > 1800 s
-    * (= 1800 continues). session_window(t, gap) merges an event while
-    * t < prev + gap, so over second-truncated times the equal-semantics
-    * gap is 1801 s. Emits one row per FINALIZED session in append mode:
-    * (user_id, session_start, session_end, n_events); per-user rollups
-    * (q41's n_sessions/n_events) are a batch agg over the sink table. */
+    * (= 1800 continues). session_window(t, gap) merges INCLUSIVELY — an
+    * event at exactly prev + gap still joins the session (verified
+    * empirically by gate q55: a truncated 1801 s gap merged under a
+    * 1801 s window), i.e. merge iff diff <= gap — so gap = 1800 s IS the
+    * equal-semantics setting over second-truncated times. Emits one row
+    * per FINALIZED session in append mode: (user_id, session_start,
+    * session_end, n_events); per-user rollups (q41's
+    * n_sessions/n_events) are a batch agg over the sink table. */
   def sessionWindows(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withColumn("ts", date_trunc("second", col("ts").cast("timestamp")))
       .withWatermark("ts", watermark)
-      .groupBy(col("user_id"), session_window(col("ts"), "1801 seconds").as("sw"))
+      .groupBy(col("user_id"), session_window(col("ts"), "1800 seconds").as("sw"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))

@@ -197,7 +197,7 @@ class StreamingSinkSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       // watermark = 12:00 - 30min = 11:30: both 10:xx sessions closed
-      // (ends 10:10+1801s and 10:40+1801s < 11:30) -> finalized + evicted;
+      // (ends 10:10+1800s and 10:40+1800s < 11:30) -> finalized + evicted;
       // the 12:00 session is still open in the store
       assert(emitted() == Seq((1L, 2L), (2L, 2L)), s"got ${emitted()}")
       // a LATE event inside user 1's finalized first session: behind the
