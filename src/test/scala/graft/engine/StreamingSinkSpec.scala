@@ -212,6 +212,42 @@ class StreamingSinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session parquet sink: checkpointed restart appends only newly-closed sessions") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ssesssink").toString
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    new java.io.File(srcDir).mkdirs()
+    def writeEvents(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val tmp = s"$base/tmp_$name"
+      rows.toDF("event_id", "ts_s", "user_id")
+        .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"), col("user_id"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+    writeEvents("b1", Seq(
+      (1L, "2024-01-01 10:00:00", 1L), (2L, "2024-01-01 10:10:00", 1L),
+      (3L, "2024-01-01 13:00:00", 2L))) // advances watermark past user 1's session
+    def runOnce(): Unit = {
+      val q = Streaming.sessionsToParquetSink(spark, srcDir, outDir, ckDir,
+        watermark = "30 minutes")
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    def sessions() = spark.read.parquet(outDir)
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(sessions() == Seq((1L, 2L)), s"got ${sessions()}")
+    // RESTART from the checkpoint with new data: nothing reprocessed, the
+    // still-open 13:00 session closes once the watermark passes it
+    writeEvents("b2", Seq((4L, "2024-01-01 16:00:00", 3L)))
+    runOnce()
+    assert(sessions() == Seq((1L, 2L), (2L, 1L)),
+      s"restart duplicated or dropped sessions: ${sessions()}")
+  }
+
   test("stream-stream join: watermark bounds state, late purchases drop") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("ssjoin").toString
