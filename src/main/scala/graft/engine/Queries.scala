@@ -1728,6 +1728,47 @@ object Queries {
     },
     Some(CrsProjectOracleSql))
 
+  /** Angle-banded EXACT cosine near-dup at the realistic high-threshold
+    * regime (Ann.pairsAngleBanded): the corpus plus a deterministically
+    * perturbed twin of every vector (v -> 0.999v + 0.0005, derived
+    * identically in both engines), and the operator must recover exactly
+    * the pairs with rounded cosine >= 0.98 — the injected twins plus any
+    * natural ones. Exactness is the reverse triangle inequality (no
+    * false negatives), spec-proven against brute force; the pruning is
+    * data-dependent (strong on spread/manifold data, graceful on this
+    * isotropic synthetic table — see the operator scaladoc for the
+    * measured concentration-of-measure analysis). */
+  private val qBandedCosine = Q(
+    "q57_emb_neardup_banded",
+    (s, dir) => {
+      Ann.register(s)
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val twins = base.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        expr("transform(vec, x -> x * 0.999 + 0.0005)").as("vec"))
+      val allVecs = base.unionByName(twins)
+      // band with half-ulp-of-rounding slack: a RAW cosine of 0.9799996
+      // rounds UP to 0.980000 and must not be pruned before the rounded
+      // filter; extra candidates are harmless, missing ones are wrong
+      Ann.pairsAngleBanded(allVecs, tau = 0.98 - 5e-7, bandWidthDeg = 2.0)
+        .select(col("a"), col("b"), round(Ann.cosine(col("va"), col("vb")), 6).as("r_cos"))
+        .filter(col("r_cos") >= 0.98) // threshold on the ROUNDED value (q34 rule)
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH vecs AS (
+            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+            |  UNION ALL
+            |  SELECT vec_id + 10000000,
+            |   list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.999 + 0.0005) FROM embeddings),
+            | d AS (SELECT vec_id, i, v[i] AS x
+            |  FROM vecs, LATERAL unnest(generate_series(1, len(v))) AS t(i))
+            |SELECT a, b, r_cos FROM (
+            | SELECT l.vec_id AS a, r.vec_id AS b,
+            |  round(sum(l.x * r.x) / (sqrt(sum(l.x * l.x)) * sqrt(sum(r.x * r.x))), 6) AS r_cos
+            | FROM d l JOIN d r ON l.i = r.i AND l.vec_id < r.vec_id
+            | GROUP BY 1, 2)
+            |WHERE r_cos >= 0.98 ORDER BY a, b""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qPricing, qNationRevenue, qTopOrders, qRollup, qSessions, qEventHours,
     qBrandRevenue, qRegionSupplier,
@@ -1740,5 +1781,5 @@ object Queries {
     qWarcIngest,
     qEmbStats, qAnn, qCentroids, qIvf, qEmbNearDup, qQuantize,
     qContourGolden, qChopGolden,
-    qSessionWindow, qCrsProject)
+    qSessionWindow, qCrsProject, qBandedCosine)
 }
