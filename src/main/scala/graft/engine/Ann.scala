@@ -177,10 +177,12 @@ object Ann {
     val spark = vectors.sparkSession
     register(spark)
     // deterministic reference = the lowest-id non-zero vector
-    val ref = vectors
+    val refRow = vectors
       .filter(call_function("sq_dist_vec", col("vec"),
         array_repeat(lit(0.0), size(col("vec")))) > 0)
-      .orderBy("vec_id").select("vec").head().getAs[Seq[Double]](0).toArray
+      .orderBy("vec_id").select("vec").limit(1).collect()
+    require(refRow.nonEmpty, "pairsAngleBanded needs at least one non-zero vector")
+    val ref = refRow(0).getAs[Seq[Double]](0).toArray
     val refLit = typedLit(ref.toSeq)
     val maxDeltaDeg = math.toDegrees(math.acos(tau))
     val m = math.ceil(maxDeltaDeg / bandWidthDeg).toLong
