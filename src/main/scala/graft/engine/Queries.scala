@@ -751,6 +751,14 @@ object Queries {
   private val qNgrams = Q(
     "q25_ngram_top",
     (s, dir) => {
+      // NOT hash-keyed, deliberately (r4, measured): unlike q39's
+      // doc-level distinct, this groupBy's partial aggregation collapses
+      // to the distinct (lang, gram) set BEFORE the exchange, so the
+      // shuffle is tiny either way — re-keying on xxhash64(gram) only
+      // adds a per-row hash over the full 5M-gram explode and measured
+      // 2.95 vs 1.79 s warm best-of-5 at sf0.1. The q46/q39 rule is
+      // about corpus-scale exchange KEYS; a combine-collapsed exchange
+      // has none.
       val docs = t(s, dir, "documents").filter(length(col("text")) >= 3)
       val grams = docs
         .select(col("lang"), explode(sequence(lit(1), length(col("text")) - 2)).as("i"), col("text"))
