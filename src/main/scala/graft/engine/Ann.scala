@@ -140,71 +140,157 @@ object Ann {
       .select("a", "va", "b", "vb")
   }
 
-  /** EXACT cosine near-dup pairs via angle banding for the HIGH-threshold
-    * regime (near-duplicate detection at cos >= ~0.9). Every vector gets
-    * one number: its angle theta to a fixed deterministic reference
-    * vector. By the reverse triangle inequality for angular distance,
-    * angle(a,b) >= |theta_a - theta_b|, so cos(a,b) >= tau implies
-    * |theta_a - theta_b| <= acos(tau): a pair can only qualify when its
-    * band indices (theta quantized by `bandWidthDeg`) differ by at most
-    * ceil(acos(tau)/width). Candidates come from a band EQUI-JOIN (one
-    * side explodes to its +/-m neighbour bands), then a cheap O(1)
-    * |dTheta| filter, and only the survivors pay the O(dim) exact
-    * cosine. NO false negatives — the result equals the brute-force
-    * filter exactly (spec-proven).
+  private def sqNorm(v: org.apache.spark.sql.Column) =
+    call_function("sq_dist_vec", v, array_repeat(lit(0.0), size(v)))
+
+  /** Deterministic orthonormal pivot directions for angle banding: walk the
+    * lowest-id non-zero vectors, Gram–Schmidt each against the pivots
+    * already kept, and keep the normalized residual when it is numerically
+    * independent (relative residual norm > 1e-6). Orthogonality is a
+    * PRUNING choice, not a correctness one — the reverse triangle
+    * inequality holds against any fixed direction — but orthogonal pivots
+    * give (approximately) independent angles on isotropic data, so the
+    * per-pivot retention fractions MULTIPLY instead of repeating the same
+    * cut. A rank-deficient corpus (e.g. data in a 2-D subspace) simply
+    * yields fewer pivots than requested, which stays exact. Bounded
+    * driver work: at most 64 rows × dim doubles collected. */
+  private[engine] def orthoPivots(vectors: DataFrame, numPivots: Int): Seq[Array[Double]] = {
+    val rows = vectors
+      .filter(sqNorm(col("vec")) > 0)
+      .orderBy("vec_id").select("vec").limit(64).collect()
+    require(rows.nonEmpty, "pairsAngleBanded needs at least one non-zero vector")
+    def dot(x: Array[Double], y: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    val pivots = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val it = rows.iterator
+    while (pivots.size < numPivots && it.hasNext) {
+      val v = it.next().getAs[Seq[Double]](0).toArray
+      val n0 = math.sqrt(dot(v, v))
+      var i = 0
+      while (i < v.length) { v(i) /= n0; i += 1 } // unit first → relative residual test
+      pivots.foreach { p =>
+        val d = dot(v, p)
+        var j = 0
+        while (j < v.length) { v(j) -= d * p(j); j += 1 }
+      }
+      val r = math.sqrt(dot(v, v))
+      if (r > 1e-6) {
+        var j = 0
+        while (j < v.length) { v(j) /= r; j += 1 }
+        pivots += v
+      }
+    }
+    pivots.toSeq
+  }
+
+  /** Exact no-false-negative candidate pairs for cosine >= tau via
+    * MULTI-PIVOT angle banding. Every vector gets `numPivots` angles
+    * theta_i to fixed orthonormal pivot directions ([[orthoPivots]]). By
+    * the reverse triangle inequality for angular distance,
+    * angle(a,b) >= |theta_i(a) - theta_i(b)| for EVERY pivot i, so
+    * cos(a,b) >= tau implies all p band indices (theta_i quantized by
+    * `bandWidthDeg`) differ by at most m = ceil(acos(tau)/width). The
+    * candidate set comes from an EQUI-JOIN on the p-tuple of band
+    * indices (the probe side explodes to its (2m+1)^p neighbour-band
+    * combinations), then the O(p) |dTheta_i| prefilters. Each unordered
+    * pair appears EXACTLY once: the build side sits only in its own band
+    * tuple and the probe side's exploded tuples are distinct, so (a, b)
+    * meets on the single tuple bands(a).
     *
-    * HONEST PRUNING MODEL — measured, not assumed: the band join visits
-    * the fraction of the pair space inside the 2*acos(tau)-degree
-    * angular strip, so pruning is real exactly when the corpus's angular
-    * SPREAD around the reference exceeds that strip. Natural-data
-    * embeddings (low intrinsic dimension, label clusters) spread widely
-    * and prune hard (AnnSpec measures 25x on structured data); ISOTROPIC
-    * high-dim vectors do NOT — concentration of measure pins every
-    * angle near 90 degrees (d = 64: +/- a few degrees), and there the
-    * operator degrades gracefully to brute force plus a cheap prefilter
-    * (never wrong, ~24% pruned on the synthetic gate data). That
-    * degradation is intrinsic to ANY single-scalar exact prefilter
-    * (centroid-distance bounds concentrate identically); the
-    * probabilistic alternative for isotropic data is multi-hyperplane
-    * SimHash banding (q23/q36), which trades exactness for recall.
-    * Zero vectors carry no angle and are excluded (cosine with them is
-    * undefined). Returns (a, va, b, vb). */
+    * Returns the candidate (a, b, ta, tb) SUPERSET — no exact cosine has
+    * run yet; [[pairsAngleBanded]] is the verified operator. Exposed so
+    * the pruning itself is measurable (AnnSpec's honest-model tests).
+    *
+    * HONEST PRUNING MODEL — measured, not assumed: each pivot keeps the
+    * fraction of the pair space inside its 2*acos(tau)-degree angular
+    * strip, and with orthogonal pivots those fractions MULTIPLY. On
+    * spread/manifold data (the natural-embedding regime) one pivot
+    * already prunes hard (AnnSpec: ~8x). On ISOTROPIC high-dim data
+    * concentration of measure pins every angle near 90 deg with std
+    * ~57/sqrt(dim) degrees (d=64: ~7 deg), so a SINGLE pivot keeps
+    * ~3/4 of the pair space — the round-4 scale-killer — but p pivots
+    * keep ~(3/4)^p, restoring a multiplicative knob that works on the
+    * distribution where it is needed most (AnnSpec measures the
+    * multiplication on the isotropic gate corpus). The explode is the
+    * price: (2m+1)^p probe rows — at the standard width = acos(tau)
+    * setting, 3^p — carrying only (id, p thetas), never the vector
+    * (vectors are fetched by id AFTER pruning). Zero vectors carry no
+    * angle and are excluded (cosine with them is undefined). */
+  def angleBandCandidates(
+      vectors: DataFrame, // (vec_id, vec)
+      tau: Double,
+      bandWidthDeg: Double = 5.0,
+      numPivots: Int = 3): DataFrame = {
+    require(tau > -1.0 && tau < 1.0 && bandWidthDeg > 0 && numPivots >= 1)
+    val spark = vectors.sparkSession
+    register(spark)
+    val maxDeltaDeg = math.toDegrees(math.acos(tau))
+    val m = math.ceil(maxDeltaDeg / bandWidthDeg).toLong
+    // Explode budget: each pivot multiplies the probe side by (2m+1), so
+    // a narrow band width (m >> 1) with several pivots is a combinatorial
+    // blowup — at width 2 deg and tau 0.6, 3 pivots would be 55^3 = 166k
+    // probe rows per vector, which costs far more to shuffle than the
+    // extra pivots prune. Use only as many pivots as fit a fixed combo
+    // budget (>= 1 always). At the standard width = acos(tau) setting
+    // (m = 1) the full 3 pivots cost 27 combos and always fit; callers
+    // who narrow the bands implicitly trade pivots for band resolution.
+    val maxCombos = 81
+    val perPivot = 2 * m + 1
+    val pBudget = math.max(1, (math.log(maxCombos) / math.log(perPivot.toDouble)).toInt)
+    val pivots = orthoPivots(vectors, math.min(numPivots, pBudget))
+    val p = pivots.length // <= requested on rank-deficient corpora
+    val nz = vectors
+      .filter(sqNorm(col("vec")) > 0)
+      .select(col("vec_id") +: pivots.zipWithIndex.map { case (pv, i) =>
+        degrees(acos(least(lit(1.0), greatest(lit(-1.0),
+          cosine(col("vec"), typedLit(pv.toSeq)))))).as(s"th$i")
+      }: _*)
+    val bandCols = (0 until p).map(i => s"band$i")
+    val left = nz.select(
+      col("vec_id").as("a") +:
+        array((0 until p).map(i => col(s"th$i")): _*).as("ta") +:
+        (0 until p).map(i => floor(col(s"th$i") / lit(bandWidthDeg)).cast("long").as(s"band$i")): _*)
+    // probe side: one Generate per pivot → the (2m+1)^p distinct tuples
+    var right = nz.select(
+      col("vec_id").as("b") +:
+        array((0 until p).map(i => col(s"th$i")): _*).as("tb") +:
+        (0 until p).map(i => floor(col(s"th$i") / lit(bandWidthDeg)).cast("long").as(s"c$i")): _*)
+    (0 until p).foreach { i =>
+      right = right.withColumn(s"band$i",
+        explode(sequence(col(s"c$i") - lit(m), col(s"c$i") + lit(m))))
+    }
+    left.join(right.drop((0 until p).map(i => s"c$i"): _*), bandCols)
+      .filter(col("a") < col("b"))
+      .filter((0 until p) // O(p) pre-verify, codegen'd scalar comparisons
+        .map(i => abs(col("ta")(i) - col("tb")(i)) <= lit(maxDeltaDeg))
+        .reduce(_ && _))
+      .select("a", "b", "ta", "tb")
+  }
+
+  /** EXACT cosine near-dup pairs for the HIGH-threshold regime
+    * (near-duplicate detection at cos >= ~0.9): the multi-pivot
+    * angle-band candidates ([[angleBandCandidates]] — no false
+    * negatives), vectors fetched by id AFTER pruning (so the band
+    * exchange moves p angles per row, never dim doubles times the
+    * neighbour explode), and the exact O(dim) cosine applied HERE —
+    * the result equals the brute-force cosine >= tau filter exactly
+    * (spec-proven; no caller-side re-filter needed).
+    * Returns (a, va, b, vb, cos). */
   def pairsAngleBanded(
       vectors: DataFrame, // (vec_id, vec)
       tau: Double,
-      bandWidthDeg: Double = 5.0): DataFrame = {
-    require(tau > -1.0 && tau < 1.0 && bandWidthDeg > 0)
-    val spark = vectors.sparkSession
-    register(spark)
-    // deterministic reference = the lowest-id non-zero vector
-    val refRow = vectors
-      .filter(call_function("sq_dist_vec", col("vec"),
-        array_repeat(lit(0.0), size(col("vec")))) > 0)
-      .orderBy("vec_id").select("vec").limit(1).collect()
-    require(refRow.nonEmpty, "pairsAngleBanded needs at least one non-zero vector")
-    val ref = refRow(0).getAs[Seq[Double]](0).toArray
-    val refLit = typedLit(ref.toSeq)
-    val maxDeltaDeg = math.toDegrees(math.acos(tau))
-    val m = math.ceil(maxDeltaDeg / bandWidthDeg).toLong
-    def withTheta(df: DataFrame) = df
-      .filter(call_function("sq_dist_vec", col("vec"),
-        array_repeat(lit(0.0), size(col("vec")))) > 0)
-      .withColumn("theta",
-        degrees(acos(least(lit(1.0), greatest(lit(-1.0), cosine(col("vec"), refLit))))))
-      .withColumn("band", floor(col("theta") / lit(bandWidthDeg)).cast("long"))
-    val left = withTheta(vectors)
-      .select(col("vec_id").as("a"), col("vec").as("va"),
-        col("theta").as("ta"), col("band"))
-    val right = withTheta(vectors)
-      .select(col("vec_id").as("b"), col("vec").as("vb"), col("theta").as("tb"),
-        explode(sequence(col("band") - lit(m), col("band") + lit(m))).as("band"))
-    left.join(right, Seq("band"))
-      .filter(col("a") < col("b"))
-      .filter(abs(col("ta") - col("tb")) <= lit(maxDeltaDeg)) // O(1) pre-verify
-      // each unordered pair appears EXACTLY once: the left side sits only
-      // in its own band, and the right side's exploded band values are
-      // distinct, so (a, b) matches on the single value band(a)
-      .select("a", "va", "b", "vb")
+      bandWidthDeg: Double = 5.0,
+      numPivots: Int = 3): DataFrame = {
+    val cand = angleBandCandidates(vectors, tau, bandWidthDeg, numPivots)
+    cand.select("a", "b")
+      .join(vectors.select(col("vec_id").as("a"), col("vec").as("va")), Seq("a"))
+      .join(vectors.select(col("vec_id").as("b"), col("vec").as("vb")), Seq("b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= lit(tau))
+      .select("a", "va", "b", "vb", "cos")
   }
 
   /** IVF query: probe the nprobe nearest clusters per query, exact cosine

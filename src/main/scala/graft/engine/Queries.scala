@@ -1759,7 +1759,7 @@ object Queries {
       // rounds UP to 0.980000 and must not be pruned before the rounded
       // filter; extra candidates are harmless, missing ones are wrong
       Ann.pairsAngleBanded(allVecs, tau = 0.98 - 5e-7, bandWidthDeg = 11.5)
-        .select(col("a"), col("b"), round(Ann.cosine(col("va"), col("vb")), 6).as("r_cos"))
+        .select(col("a"), col("b"), round(col("cos"), 6).as("r_cos"))
         .filter(col("r_cos") >= 0.98) // threshold on the ROUNDED value (q34 rule)
         .orderBy("a", "b")
     },

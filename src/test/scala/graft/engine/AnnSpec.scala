@@ -83,9 +83,9 @@ class AnnSpec extends AnyFunSuite {
     val zero = Seq((999999L, Seq.fill(64)(0.0))).toDF("vec_id", "vec")
     val allV = vectors.unionByName(twins).unionByName(zero).cache()
     for (tau <- Seq(0.98, 0.9, 0.6)) {
+      // the operator applies the exact cosine filter itself — no
+      // caller-side re-filter (the round-4 ADVICE doc/behavior gap)
       val banded = Ann.pairsAngleBanded(allV, tau, bandWidthDeg = 2.0)
-        .withColumn("cos", Ann.cosine(col("va"), col("vb")))
-        .filter(col("cos") >= tau)
         .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val brute = allV.toDF("a", "va")
         .join(allV.toDF("b", "vb"), col("a") < col("b"))
@@ -102,33 +102,50 @@ class AnnSpec extends AnyFunSuite {
   test("angle banding: strong pruning on spread data, graceful degradation on isotropic") {
     import spark.implicits._
     Ann.register(spark)
-    // pairsAngleBanded's output IS the candidate set (its only filters
-    // are band + |dTheta|), so counting it measures the pruning.
+    // angleBandCandidates IS the candidate set (its only filters are
+    // band tuple + |dTheta_i|), so counting it measures the pruning.
     //
     // (1) structured data — angles genuinely spread (the natural-
     // embedding regime: low intrinsic dimension): 400 vectors fanned
-    // over [0, 180] degrees in a 2-D subspace of the 64-dim space
+    // over [0, 180] degrees in a 2-D subspace of the 64-dim space.
+    // Rank 2 ⇒ orthoPivots yields at most 2 pivots even when 3 are
+    // requested — the operator must stay exact under rank deficiency
+    // (covered by the exactness test above via these same defaults).
     val spread = (0 until 400).map { i =>
       val ang = math.toRadians(i * 180.0 / 400.0)
       val v = Array.fill(64)(0.0)
       v(0) = math.cos(ang); v(1) = math.sin(ang)
       (i.toLong, v.toSeq)
     }.toDF("vec_id", "vec")
+    assert(Ann.orthoPivots(spread, 3).length == 2, "rank-2 corpus caps the pivot count")
     val nS = 400L
-    val candS = Ann.pairsAngleBanded(spread, 0.98, bandWidthDeg = 2.0).count()
+    val candS = Ann.angleBandCandidates(spread, 0.98, bandWidthDeg = 2.0, numPivots = 1).count()
     // theory: candidates ~ the 2*acos(0.98)+2*bandWidth degree strip of
     // the uniform [0,180] pair space = ~15% -> ~6.5x; measured 8.2x
     assert(candS * 6 < nS * (nS - 1) / 2,
       s"spread data must prune >6x: $candS of ${nS * (nS - 1) / 2}")
     // (2) isotropic high-dim data (the synthetic embeddings table):
-    // concentration of measure pins angles near 90 deg, so the exact
-    // filter keeps most pairs — it must stay a SUPERSET prefilter
-    // (correct, never wrong) without blowing the pair space up
+    // concentration of measure pins every angle near 90 deg (d=64:
+    // std ~7 deg), so a SINGLE pivot keeps most of the pair space —
+    // the round-4 scale finding. Orthogonal pivots give approximately
+    // independent angles here, so the per-pivot retentions MULTIPLY:
+    // p=3 must cut meaningfully below p=1 while staying a correct
+    // superset (exactness is the test above; this one pins the model).
     val n = vectors.count()
     val allPairs = n * (n - 1) / 2
-    val candI = Ann.pairsAngleBanded(vectors, 0.98, bandWidthDeg = 2.0).count()
-    assert(candI <= allPairs, s"candidates must never exceed the pair space")
-    assert(candI < allPairs, s"even isotropic data prunes a little")
+    // width = acos(tau) (the m = 1 production setting, q57's): the combo
+    // budget admits all 3 pivots; a 2-degree width would spend the whole
+    // explode budget on band resolution and clamp back to 1 pivot
+    val cand1 = Ann.angleBandCandidates(vectors, 0.98, bandWidthDeg = 11.5, numPivots = 1).count()
+    val cand3 = Ann.angleBandCandidates(vectors, 0.98, bandWidthDeg = 11.5, numPivots = 3).count()
+    assert(cand1 <= allPairs, s"candidates must never exceed the pair space")
+    assert(cand1 < allPairs, s"even isotropic data prunes a little")
+    // multiplied retention: with per-pivot retention r < 1, p=3 keeps
+    // ~r^3 — require at least a 0.8-factor-per-extra-pivot cut so the
+    // assertion survives distribution noise while still rejecting a
+    // broken (correlated-pivot) implementation
+    assert(cand3 < cand1 * 0.8 * 0.8,
+      s"3 orthogonal pivots must multiply the pruning: $cand3 vs $cand1 (of $allPairs)")
   }
 
   test("training is deterministic") {

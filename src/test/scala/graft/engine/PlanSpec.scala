@@ -124,6 +124,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q57 angle-band candidates come from a band-tuple equi-join, not an n x n nested loop") {
+    val q = Queries.all.find(_.name == "q57_emb_neardup_banded").get
+    val df = q.impl(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // the pair space must be keyed by the pivot band tuple; the only
+    // acceptable join shapes are hash/sort-merge equi-joins (band keys +
+    // the two post-prune vector fetches by id)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("cosine_sim"), p) // codegen'd kernel, not a HOF
+  }
+
   test("q43 quantization is narrow: no explode, no join") {
     val q = Queries.all.find(_.name == "q43_emb_quantize").get
     val df = q.impl(spark, dir)
