@@ -5,177 +5,337 @@ package graft.core
   *
   * The reference delegates to osgeo/proj; here the supported sources are
   * EPSG:4326 (identity), EPSG:3857 (spherical web-Mercator, exact closed
-  * form) and the UTM zones EPSG:326xx/327xx (ellipsoidal transverse
-  * Mercator via the published 6th-order Krüger series — the formulation
-  * GeographicLib/proj use, accurate to nanometers inside a zone; public
-  * formulas, independent implementation). UTM matters because
-  * lidar-derived national DEMs commonly ship UTM-projected GeoTIFFs.
+  * form), and two PARAMETERIZED projected families backed by an EPSG
+  * constant table: transverse Mercator (ellipsoidal, 6th-order Krüger
+  * series — the formulation GeographicLib/proj use, accurate to
+  * nanometers inside a zone) covering the UTM zones EPSG:326xx/327xx and
+  * British National Grid EPSG:27700 (Airy 1830 + the published OSGB
+  * Helmert datum shift), and Lambert conformal conic 2SP (Snyder closed
+  * forms) covering Lambert-93 EPSG:2154. These matter because
+  * lidar-derived national DEMs ship in national projected grids.
   * Other codes fail loudly rather than silently mis-projecting.
+  * All formulas public; independent implementation.
   */
 object Crs {
 
   val EarthRadius = 6378137.0
 
-  // ------------------------------------------------------------- UTM ---
-  // WGS84 ellipsoid + UTM frame constants (all public).
-  private val F = 1.0 / 298.257223563
-  private val E2 = F * (2.0 - F)
-  private val Ecc = math.sqrt(E2)
-  private val N3 = F / (2.0 - F) // third flattening n
-  private val K0 = 0.9996
-  private val FalseEasting = 500000.0
-  private val FalseNorthingSouth = 10000000.0
-  /** Rectifying radius A = a/(1+n)·(1 + n²/4 + n⁴/64 + n⁶/256). */
-  private val RectA = {
-    val n2 = N3 * N3
-    EarthRadius / (1.0 + N3) * (1.0 + n2 / 4.0 + n2 * n2 / 64.0 + n2 * n2 * n2 / 256.0)
+  private def atanh(x: Double): Double = 0.5 * math.log((1.0 + x) / (1.0 - x))
+  private def asinh(x: Double): Double = math.log(x + math.hypot(1.0, x))
+
+  /** Reference ellipsoids (public geodesy constants). */
+  final case class Ellipsoid(a: Double, invF: Double) {
+    val f: Double = 1.0 / invF
+    val e2: Double = f * (2.0 - f)
+    val e: Double = math.sqrt(e2)
   }
-  // Krüger forward coefficients α1..α6 (Karney 2011, eq. 35 series)
-  private val Alpha: Array[Double] = {
-    val n = N3; val n2 = n * n; val n3 = n2 * n; val n4 = n3 * n; val n5 = n4 * n; val n6 = n5 * n
-    Array(
-      n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180 - 127 * n5 / 288 + 7891 * n6 / 37800,
-      13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630 - 1983433 * n6 / 1935360,
-      61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880 + 167603 * n6 / 181440,
-      49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
-      34729 * n5 / 80640 - 3418889 * n6 / 1995840,
-      212378941 * n6 / 319334400)
-  }
-  // Krüger inverse coefficients β1..β6
-  private val Beta: Array[Double] = {
-    val n = N3; val n2 = n * n; val n3 = n2 * n; val n4 = n3 * n; val n5 = n4 * n; val n6 = n5 * n
-    Array(
-      n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360 - 81 * n5 / 512 + 96199 * n6 / 604800,
-      n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105 - 1118711 * n6 / 3870720,
-      17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480 + 5569 * n6 / 90720,
-      4397 * n4 / 161280 - 11 * n5 / 504 - 830251 * n6 / 7257600,
-      4583 * n5 / 161280 - 108847 * n6 / 3991680,
-      20648693 * n6 / 638668800)
+  val Wgs84: Ellipsoid = Ellipsoid(6378137.0, 298.257223563)
+  val Grs80: Ellipsoid = Ellipsoid(6378137.0, 298.257222101)
+  val Airy1830: Ellipsoid = Ellipsoid(6377563.396, 299.3249646)
+
+  // ---------------------------------------- transverse Mercator (TM) ---
+  /** Ellipsoidal transverse Mercator, parameterized the way EPSG defines
+    * a TM instance: ellipsoid, scale at the central meridian k0, central
+    * meridian/latitude of origin, false easting/northing. UTM is the
+    * (WGS84, 0.9996, zone meridian, 0N, 500000, 0|10M) instance; British
+    * National Grid is (Airy, 0.9996012717, 2W, 49N, 400000, -100000).
+    * Forward/inverse via the 6th-order Krüger series (Karney 2011,
+    * eqs. 35/36 coefficient sets — published series). */
+  final class TransverseMercator(
+      val ell: Ellipsoid,
+      val k0: Double,
+      val lon0Deg: Double,
+      val lat0Deg: Double,
+      val falseE: Double,
+      val falseN: Double) extends Serializable {
+    private val E2 = ell.e2
+    private val Ecc = ell.e
+    private val N3 = ell.f / (2.0 - ell.f) // third flattening n
+    /** Rectifying radius A = a/(1+n)·(1 + n²/4 + n⁴/64 + n⁶/256). */
+    private val RectA = {
+      val n2 = N3 * N3
+      ell.a / (1.0 + N3) * (1.0 + n2 / 4.0 + n2 * n2 / 64.0 + n2 * n2 * n2 / 256.0)
+    }
+    // Krüger forward coefficients α1..α6 (Karney 2011, eq. 35 series)
+    private val Alpha: Array[Double] = {
+      val n = N3; val n2 = n * n; val n3 = n2 * n; val n4 = n3 * n; val n5 = n4 * n; val n6 = n5 * n
+      Array(
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180 - 127 * n5 / 288 + 7891 * n6 / 37800,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630 - 1983433 * n6 / 1935360,
+        61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880 + 167603 * n6 / 181440,
+        49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+        34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+        212378941 * n6 / 319334400)
+    }
+    // Krüger inverse coefficients β1..β6
+    private val Beta: Array[Double] = {
+      val n = N3; val n2 = n * n; val n3 = n2 * n; val n4 = n3 * n; val n5 = n4 * n; val n6 = n5 * n
+      Array(
+        n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360 - 81 * n5 / 512 + 96199 * n6 / 604800,
+        n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105 - 1118711 * n6 / 3870720,
+        17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480 + 5569 * n6 / 90720,
+        4397 * n4 / 161280 - 11 * n5 / 504 - 830251 * n6 / 7257600,
+        4583 * n5 / 161280 - 108847 * n6 / 3991680,
+        20648693 * n6 / 638668800)
+    }
+    /** tau' (tangent of the conformal latitude) from tau = tan(phi). */
+    private def tauPrime(tau: Double): Double = {
+      val sigma = math.sinh(Ecc * atanh(Ecc * tau / math.hypot(1.0, tau)))
+      tau * math.hypot(1.0, sigma) - sigma * math.hypot(1.0, tau)
+    }
+    /** Meridian-arc offset of the latitude of origin: xi at (lat0, lam=0)
+      * scaled to meters — EPSG's "northing at the natural origin". Zero
+      * for UTM (lat0 = 0). */
+    private val M0 = {
+      val tauP0 = tauPrime(math.tan(math.toRadians(lat0Deg)))
+      val xiP0 = math.atan(tauP0)
+      var xi = xiP0
+      var j = 1
+      while (j <= 6) { xi += Alpha(j - 1) * math.sin(2.0 * j * xiP0); j += 1 }
+      k0 * RectA * xi
+    }
+
+    /** (lon, lat) degrees on this frame's DATUM -> (easting, northing) m. */
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val lam = math.toRadians(lon - lon0Deg)
+      val tauP = tauPrime(math.tan(math.toRadians(lat)))
+      val xiP = math.atan2(tauP, math.cos(lam))
+      val etaP = asinh(math.sin(lam) / math.hypot(tauP, math.cos(lam)))
+      var xi = xiP
+      var eta = etaP
+      var j = 1
+      while (j <= 6) {
+        xi += Alpha(j - 1) * math.sin(2.0 * j * xiP) * math.cosh(2.0 * j * etaP)
+        eta += Alpha(j - 1) * math.cos(2.0 * j * xiP) * math.sinh(2.0 * j * etaP)
+        j += 1
+      }
+      (falseE + k0 * RectA * eta, falseN - M0 + k0 * RectA * xi)
+    }
+
+    /** (easting, northing) m -> (lon, lat) degrees on this frame's DATUM. */
+    def inverse(easting: Double, northing: Double): (Double, Double) = {
+      val xi0 = (northing - falseN + M0) / (k0 * RectA)
+      val eta0 = (easting - falseE) / (k0 * RectA)
+      var xiP = xi0
+      var etaP = eta0
+      var j = 1
+      while (j <= 6) {
+        xiP -= Beta(j - 1) * math.sin(2.0 * j * xi0) * math.cosh(2.0 * j * eta0)
+        etaP -= Beta(j - 1) * math.cos(2.0 * j * xi0) * math.sinh(2.0 * j * eta0)
+        j += 1
+      }
+      val sinhEta = math.sinh(etaP)
+      val tauP = math.sin(xiP) / math.hypot(sinhEta, math.cos(xiP))
+      // invert the conformal-latitude map by Newton iteration on tau
+      // (Karney's scheme: 2-3 iterations reach double precision)
+      var tau = tauP / (1.0 - E2) // good first guess (spherical would be tauP)
+      var i = 0
+      var delta = 1.0
+      while (i < 8 && math.abs(delta) > 1e-16) {
+        val fTau = tauPrime(tau) - tauP
+        val sigma = math.sinh(Ecc * atanh(Ecc * tau / math.hypot(1.0, tau)))
+        val dTau = (math.sqrt((1.0 + sigma * sigma) * (1.0 + tau * tau)) - sigma * tau) *
+          (1.0 - E2) * math.hypot(1.0, tau) / (1.0 + (1.0 - E2) * tau * tau)
+        delta = fTau / dTau
+        tau -= delta
+        i += 1
+      }
+      val phi = math.atan(tau)
+      val lam = math.atan2(sinhEta, math.cos(xiP))
+      (lon0Deg + math.toDegrees(lam), math.toDegrees(phi))
+    }
   }
 
   /** Central meridian of UTM zone 1..60, degrees. */
   def utmCentralMeridian(zone: Int): Double = -183.0 + 6.0 * zone
 
+  private val tmCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Boolean), TransverseMercator]()
+  /** The UTM TM instance for `zone`/`north` (cached — per-point callers
+    * must not re-derive the series coefficients). */
+  def utmFrame(zone: Int, north: Boolean): TransverseMercator = {
+    require(zone >= 1 && zone <= 60, s"UTM zone $zone out of range 1..60")
+    tmCache.computeIfAbsent((zone, north), { case (z, n) =>
+      new TransverseMercator(Wgs84, 0.9996, utmCentralMeridian(z), 0.0,
+        500000.0, if (n) 0.0 else 10000000.0)
+    })
+  }
+
+  /** British National Grid EPSG:27700 projection frame (OSGB36 datum):
+    * Airy 1830, k0 = 0.9996012717, origin 49N 2W, FE 400000, FN -100000
+    * (EPSG registry constants). `forward`/`inverse` speak OSGB36
+    * geodetic coordinates — the WGS84 entry points below compose the
+    * published Helmert datum shift. */
+  val Osgb36Grid: TransverseMercator =
+    new TransverseMercator(Airy1830, 0.9996012717, -2.0, 49.0, 400000.0, -100000.0)
+
   /** (lon, lat) degrees -> (easting, northing) meters in UTM `zone`
     * (1..60), `north` hemisphere flag. */
-  def wgs84ToUtm(lon: Double, lat: Double, zone: Int, north: Boolean): (Double, Double) = {
-    val phi = math.toRadians(lat)
-    val lam = math.toRadians(lon - utmCentralMeridian(zone))
-    // conformal latitude via tau' = tau·sqrt(1+sigma²) − sigma·sqrt(1+tau²)
-    val tau = math.tan(phi)
-    val sigma = math.sinh(Ecc * atanh(Ecc * tau / math.hypot(1.0, tau)))
-    val tauP = tau * math.hypot(1.0, sigma) - sigma * math.hypot(1.0, tau)
-    val xiP = math.atan2(tauP, math.cos(lam))
-    val etaP = asinh(math.sin(lam) / math.hypot(tauP, math.cos(lam)))
-    var xi = xiP
-    var eta = etaP
-    var j = 1
-    while (j <= 6) {
-      xi += Alpha(j - 1) * math.sin(2.0 * j * xiP) * math.cosh(2.0 * j * etaP)
-      eta += Alpha(j - 1) * math.cos(2.0 * j * xiP) * math.sinh(2.0 * j * etaP)
-      j += 1
-    }
-    val e = FalseEasting + K0 * RectA * eta
-    val nn = (if (north) 0.0 else FalseNorthingSouth) + K0 * RectA * xi
-    (e, nn)
-  }
+  def wgs84ToUtm(lon: Double, lat: Double, zone: Int, north: Boolean): (Double, Double) =
+    utmFrame(zone, north).forward(lon, lat)
 
   /** (easting, northing) meters in UTM `zone`/`north` -> (lon, lat) degrees. */
-  def utmToWgs84(easting: Double, northing: Double, zone: Int, north: Boolean): (Double, Double) = {
-    val xi0 = (northing - (if (north) 0.0 else FalseNorthingSouth)) / (K0 * RectA)
-    val eta0 = (easting - FalseEasting) / (K0 * RectA)
-    var xiP = xi0
-    var etaP = eta0
-    var j = 1
-    while (j <= 6) {
-      xiP -= Beta(j - 1) * math.sin(2.0 * j * xi0) * math.cosh(2.0 * j * eta0)
-      etaP -= Beta(j - 1) * math.cos(2.0 * j * xi0) * math.sinh(2.0 * j * eta0)
-      j += 1
+  def utmToWgs84(easting: Double, northing: Double, zone: Int, north: Boolean): (Double, Double) =
+    utmFrame(zone, north).inverse(easting, northing)
+
+  // ------------------------------------------- Helmert datum shifts ---
+  /** 7-parameter Helmert transformation (position-vector convention) via
+    * geocentric cartesian coordinates, for datums that are NOT WGS84-
+    * coincident (OSGB36). Parameters are the published OS values; the
+    * transformation itself carries the OS-stated ~3.5 m real-world
+    * distortion bound — the same bound pyproj's default (non-OSTN15)
+    * 27700 path has. `inv` solves the forward 3x3 system EXACTLY
+    * (adjugate inverse of M = (1+s)I + skew(r)) rather than negating the
+    * parameters, so forward∘inverse closes to double precision. */
+  final class Helmert7(
+      txM: Double, tyM: Double, tzM: Double,
+      rxSec: Double, rySec: Double, rzSec: Double,
+      sPpm: Double) extends Serializable {
+    private val rx = math.toRadians(rxSec / 3600.0)
+    private val ry = math.toRadians(rySec / 3600.0)
+    private val rz = math.toRadians(rzSec / 3600.0)
+    private val s1 = 1.0 + sPpm * 1e-6
+    // row-major M and its exact inverse (det is ~1, never near zero)
+    private val m = Array(s1, -rz, ry, rz, s1, -rx, -ry, rx, s1)
+    private val mInv = {
+      val Array(a, b, c, d, e, f, g, h, i) = m
+      val det = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+      Array(
+        (e * i - f * h) / det, (c * h - b * i) / det, (b * f - c * e) / det,
+        (f * g - d * i) / det, (a * i - c * g) / det, (c * d - a * f) / det,
+        (d * h - e * g) / det, (b * g - a * h) / det, (a * e - b * d) / det)
     }
-    val sinhEta = math.sinh(etaP)
-    val tauP = math.sin(xiP) / math.hypot(sinhEta, math.cos(xiP))
-    // invert the conformal-latitude map by Newton iteration on tau
-    // (Karney's scheme: 2-3 iterations reach double precision)
-    var tau = tauP / (1.0 - E2) // good first guess (spherical would be tauP)
-    var i = 0
-    var delta = 1.0
-    while (i < 8 && math.abs(delta) > 1e-16) {
-      val sigma = math.sinh(Ecc * atanh(Ecc * tau / math.hypot(1.0, tau)))
-      val fTau = tau * math.hypot(1.0, sigma) - sigma * math.hypot(1.0, tau) - tauP
-      val dTau = (math.sqrt((1.0 + sigma * sigma) * (1.0 + tau * tau)) - sigma * tau) *
-        (1.0 - E2) * math.hypot(1.0, tau) / (1.0 + (1.0 - E2) * tau * tau)
-      delta = fTau / dTau
-      tau -= delta
-      i += 1
+    def apply(x: Double, y: Double, z: Double): (Double, Double, Double) = (
+      txM + m(0) * x + m(1) * y + m(2) * z,
+      tyM + m(3) * x + m(4) * y + m(5) * z,
+      tzM + m(6) * x + m(7) * y + m(8) * z)
+    def inv(x2: Double, y2: Double, z2: Double): (Double, Double, Double) = {
+      val x = x2 - txM; val y = y2 - tyM; val z = z2 - tzM
+      (mInv(0) * x + mInv(1) * y + mInv(2) * z,
+        mInv(3) * x + mInv(4) * y + mInv(5) * z,
+        mInv(6) * x + mInv(7) * y + mInv(8) * z)
     }
-    val phi = math.atan(tau)
-    val lam = math.atan2(sinhEta, math.cos(xiP))
-    (utmCentralMeridian(zone) + math.toDegrees(lam), math.toDegrees(phi))
   }
 
-  private def atanh(x: Double): Double = 0.5 * math.log((1.0 + x) / (1.0 - x))
-  private def asinh(x: Double): Double = math.log(x + math.hypot(1.0, x))
+  /** WGS84 -> OSGB36 (OS Guide A Helmert parameters, public). */
+  val Wgs84ToOsgb36: Helmert7 =
+    new Helmert7(-446.448, 125.157, -542.060, -0.1502, -0.2470, -0.8421, 20.4894)
 
-  // ------------------------------------------------- Lambert-93 (LCC) ---
-  // EPSG:2154 — the French national grid (RGF93 / Lambert conformal conic,
-  // 2 standard parallels), the CRS IGN's RGE ALTI lidar DEMs ship in.
-  // Ellipsoidal LCC-2SP closed forms per Snyder, "Map Projections — A
-  // Working Manual", pp. 107-109 (public). GRS80 ellipsoid.
-  private object Lcc93 {
-    val A = 6378137.0
-    val F = 1.0 / 298.257222101 // GRS80
-    val E2 = F * (2.0 - F)
-    val E = math.sqrt(E2)
-    val Lat0 = math.toRadians(46.5)
-    val Lon0 = math.toRadians(3.0)
-    val Lat1 = math.toRadians(44.0)
-    val Lat2 = math.toRadians(49.0)
-    val FE = 700000.0
-    val FN = 6600000.0
-    def m(phi: Double): Double = {
+  /** Geodetic (lon, lat, h=0) on `ell` -> geocentric cartesian meters. */
+  def geodeticToEcef(ell: Ellipsoid, lon: Double, lat: Double): (Double, Double, Double) = {
+    val phi = math.toRadians(lat)
+    val lam = math.toRadians(lon)
+    val s = math.sin(phi)
+    val nu = ell.a / math.sqrt(1.0 - ell.e2 * s * s)
+    (nu * math.cos(phi) * math.cos(lam),
+      nu * math.cos(phi) * math.sin(lam),
+      (1.0 - ell.e2) * nu * s)
+  }
+
+  /** Geocentric cartesian -> geodetic (lon, lat) on `ell`, height
+    * discarded (fixed-point iteration on phi, sub-mm in <10 rounds). */
+  def ecefToGeodetic(ell: Ellipsoid, x: Double, y: Double, z: Double): (Double, Double) = {
+    val lam = math.atan2(y, x)
+    val p = math.hypot(x, y)
+    var phi = math.atan2(z, p * (1.0 - ell.e2))
+    var i = 0
+    var prev = Double.NaN
+    while (i < 12 && phi != prev) {
+      prev = phi
+      val s = math.sin(phi)
+      val nu = ell.a / math.sqrt(1.0 - ell.e2 * s * s)
+      phi = math.atan2(z + ell.e2 * nu * s, p)
+      i += 1
+    }
+    (math.toDegrees(lam), math.toDegrees(phi))
+  }
+
+  /** (lon, lat) WGS84 degrees -> EPSG:27700 (easting, northing) meters:
+    * Helmert datum shift to OSGB36, then the Airy TM projection. */
+  def wgs84ToOsgb(lon: Double, lat: Double): (Double, Double) = {
+    val (x, y, z) = geodeticToEcef(Wgs84, lon, lat)
+    val (x2, y2, z2) = Wgs84ToOsgb36(x, y, z)
+    val (lonO, latO) = ecefToGeodetic(Airy1830, x2, y2, z2)
+    Osgb36Grid.forward(lonO, latO)
+  }
+
+  /** EPSG:27700 (easting, northing) meters -> (lon, lat) WGS84 degrees. */
+  def osgbToWgs84(e: Double, n: Double): (Double, Double) = {
+    val (lonO, latO) = Osgb36Grid.inverse(e, n)
+    val (x, y, z) = geodeticToEcef(Airy1830, lonO, latO)
+    val (x2, y2, z2) = Wgs84ToOsgb36.inv(x, y, z)
+    ecefToGeodetic(Wgs84, x2, y2, z2)
+  }
+
+  // -------------------------------- Lambert conformal conic (LCC-2SP) ---
+  /** Ellipsoidal LCC with 2 standard parallels, parameterized the way
+    * EPSG defines an LCC-2SP instance. Closed forms per Snyder, "Map
+    * Projections — A Working Manual", pp. 107-109 (public). */
+  final class LambertConformal2SP(
+      val ell: Ellipsoid,
+      lat0Deg: Double, lon0Deg: Double,
+      lat1Deg: Double, lat2Deg: Double,
+      falseE: Double, falseN: Double) extends Serializable {
+    private val E2 = ell.e2
+    private val E = ell.e
+    private val Lon0 = math.toRadians(lon0Deg)
+    private def m(phi: Double): Double = {
       val s = math.sin(phi)
       math.cos(phi) / math.sqrt(1.0 - E2 * s * s)
     }
-    def t(phi: Double): Double = {
+    private def t(phi: Double): Double = {
       val s = math.sin(phi)
       math.tan(math.Pi / 4.0 - phi / 2.0) /
         math.pow((1.0 - E * s) / (1.0 + E * s), E / 2.0)
     }
-    val N = (math.log(m(Lat1)) - math.log(m(Lat2))) / (math.log(t(Lat1)) - math.log(t(Lat2)))
-    val Fc = m(Lat1) / (N * math.pow(t(Lat1), N))
-    val Rho0 = A * Fc * math.pow(t(Lat0), N)
+    private val Lat1 = math.toRadians(lat1Deg)
+    private val Lat2 = math.toRadians(lat2Deg)
+    private val N = (math.log(m(Lat1)) - math.log(m(Lat2))) / (math.log(t(Lat1)) - math.log(t(Lat2)))
+    private val Fc = m(Lat1) / (N * math.pow(t(Lat1), N))
+    private val Rho0 = ell.a * Fc * math.pow(t(math.toRadians(lat0Deg)), N)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val rho = ell.a * Fc * math.pow(t(math.toRadians(lat)), N)
+      val gamma = N * (math.toRadians(lon) - Lon0)
+      (falseE + rho * math.sin(gamma), falseN + Rho0 - rho * math.cos(gamma))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - falseE
+      val dy = Rho0 - (y - falseN)
+      val rho = math.signum(N) * math.hypot(dx, dy)
+      val tP = math.pow(rho / (ell.a * Fc), 1.0 / N)
+      val theta = math.atan2(dx, dy)
+      val lon = theta / N + Lon0
+      // fixed-point iteration for phi (Snyder eq. 7-9; converges in ~4 steps)
+      var phi = math.Pi / 2.0 - 2.0 * math.atan(tP)
+      var i = 0
+      var prev = Double.NaN
+      while (i < 10 && phi != prev) {
+        prev = phi
+        val s = math.sin(phi)
+        phi = math.Pi / 2.0 - 2.0 * math.atan(
+          tP * math.pow((1.0 - E * s) / (1.0 + E * s), E / 2.0))
+        i += 1
+      }
+      (math.toDegrees(lon), math.toDegrees(phi))
+    }
   }
+
+  /** EPSG:2154 — the French national grid (RGF93 / Lambert-93), the CRS
+    * IGN's RGE ALTI lidar DEMs ship in. GRS80; RGF93 is WGS84-coincident
+    * at cm level, so no datum shift (the same null-datum treatment pyproj
+    * applies at this accuracy). */
+  val Lambert93: LambertConformal2SP =
+    new LambertConformal2SP(Grs80, 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0)
 
   /** (lon, lat) degrees -> (easting, northing) meters in EPSG:2154. */
-  def wgs84ToLambert93(lon: Double, lat: Double): (Double, Double) = {
-    import Lcc93._
-    val rho = A * Fc * math.pow(t(math.toRadians(lat)), N)
-    val gamma = N * (math.toRadians(lon) - Lon0)
-    (FE + rho * math.sin(gamma), FN + Rho0 - rho * math.cos(gamma))
-  }
+  def wgs84ToLambert93(lon: Double, lat: Double): (Double, Double) =
+    Lambert93.forward(lon, lat)
 
   /** (easting, northing) meters in EPSG:2154 -> (lon, lat) degrees. */
-  def lambert93ToWgs84(x: Double, y: Double): (Double, Double) = {
-    import Lcc93._
-    val dx = x - FE
-    val dy = Rho0 - (y - FN)
-    val rho = math.signum(N) * math.hypot(dx, dy)
-    val tP = math.pow(rho / (A * Fc), 1.0 / N)
-    val theta = math.atan2(dx, dy)
-    val lon = theta / N + Lon0
-    // fixed-point iteration for phi (Snyder eq. 7-9; converges in ~4 steps)
-    var phi = math.Pi / 2.0 - 2.0 * math.atan(tP)
-    var i = 0
-    var prev = Double.NaN
-    while (i < 10 && phi != prev) {
-      prev = phi
-      val s = math.sin(phi)
-      phi = math.Pi / 2.0 - 2.0 * math.atan(
-        tP * math.pow((1.0 - E * s) / (1.0 + E * s), E / 2.0))
-      i += 1
-    }
-    (math.toDegrees(lon), math.toDegrees(phi))
-  }
+  def lambert93ToWgs84(x: Double, y: Double): (Double, Double) =
+    Lambert93.inverse(x, y)
 
   /** (x, y) in EPSG:3857 meters -> (lon, lat) degrees. */
   def mercatorToWgs84(x: Double, y: Double): (Double, Double) = {
@@ -203,9 +363,10 @@ object Crs {
     // RGF93 (Lambert-93's datum) is coincident with WGS84 at cm level —
     // the same null-datum treatment pyproj applies at this accuracy
     case 2154 => Some(lambert93ToWgs84)
+    case 27700 => Some(osgbToWgs84)
     case other =>
       throw new IllegalArgumentException(
-        s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM, 2154 Lambert-93)")
+        s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM, 2154 Lambert-93, 27700 OSGB)")
   }
 
   /** Reverse transform (WGS84 -> source CRS), the reference's
@@ -218,9 +379,10 @@ object Crs {
     case z if z >= 32701 && z <= 32760 =>
       Some((lon, lat) => wgs84ToUtm(lon, lat, z - 32700, north = false))
     case 2154 => Some(wgs84ToLambert93)
+    case 27700 => Some(wgs84ToOsgb)
     case other =>
       throw new IllegalArgumentException(
-        s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM, 2154 Lambert-93)")
+        s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM, 2154 Lambert-93, 27700 OSGB)")
   }
 
   /** True when lon depends only on x and lat only on y under toWgs84 —
@@ -251,18 +413,30 @@ object Crs {
     BBox(lons.min, lats.min, lons.max, lats.max)
   }
 
-  /** Corner-wise bbox transform WITHOUT the aligned-rectangle requirement:
-    * the envelope (min/max over the four transformed corners). For
-    * axis-separable CRSs (4326/3857) this equals transformBBox's result;
-    * for transverse Mercator — where meridian convergence tilts the
-    * rectangle and the strict form (the reference's refusal semantics)
-    * would reject the tile — it returns the smallest aligned superset,
-    * which is exactly what output naming/binning metadata needs. */
-  def envelopeBBox(b: BBox, f: (Double, Double) => (Double, Double)): BBox = {
-    val cs = Seq(
-      f(b.minLon, b.minLat), f(b.minLon, b.maxLat),
-      f(b.maxLon, b.maxLat), f(b.maxLon, b.minLat))
-    BBox(cs.map(_._1).min, cs.map(_._2).min, cs.map(_._1).max, cs.map(_._2).max)
+  /** Bbox transform WITHOUT the aligned-rectangle requirement: the
+    * envelope over the transformed BOUNDARY, sampled at `samplesPerEdge`
+    * interior points per edge in addition to the four corners. For
+    * axis-separable CRSs (4326/3857) the corner envelope is already
+    * exact; for transverse Mercator — where meridian convergence tilts
+    * the rectangle and the strict form (the reference's refusal
+    * semantics) would reject the tile — a coordinate extreme can sit
+    * MID-EDGE (a UTM tile spanning easting 500000 has its latitude
+    * extreme at the central meridian, ~100 m / ~1e-3 deg past the corner
+    * values), so corners alone under-cover. Conformal projections map
+    * extrema of smooth coordinates to the boundary, so edge sampling at
+    * this density bounds the residual under-coverage below ~1e-7 deg for
+    * zone-scale tiles — containment-safe for output naming/binning. */
+  def envelopeBBox(
+      b: BBox,
+      f: (Double, Double) => (Double, Double),
+      samplesPerEdge: Int = 8): BBox = {
+    val k = samplesPerEdge + 1
+    val pts = (0 to k).flatMap { i =>
+      val tx = b.minLon + (b.maxLon - b.minLon) * i / k
+      val ty = b.minLat + (b.maxLat - b.minLat) * i / k
+      Seq(f(tx, b.minLat), f(tx, b.maxLat), f(b.minLon, ty), f(b.maxLon, ty))
+    }
+    BBox(pts.map(_._1).min, pts.map(_._2).min, pts.map(_._1).max, pts.map(_._2).max)
   }
 
   /** Transform a packed [x0,y0,x1,y1,...] path in place semantics-free

@@ -156,6 +156,15 @@ class GeoTiffSpec extends AnyFunSuite {
     projectedToulonE2e("lcc_toulon", 2154, Crs.wgs84ToLambert93, Crs.lambert93ToWgs84)
   }
 
+  test("OSGB 27700 tiff traces contours in WGS84 (generalized TM + Helmert datum path)") {
+    assume(available)
+    // the grid is synthetic "as-if" 27700 over the Toulon window (real
+    // OSGB tiles would carry GB terrain); what the twin proves is the
+    // parameterized-TM + datum-shift dispatch end to end: lat0 != 0,
+    // Airy ellipsoid, and a non-null Helmert on BOTH directions
+    projectedToulonE2e("osgb_toulon", 27700, Crs.wgs84ToOsgb, Crs.osgbToWgs84)
+  }
+
   // ------------------------------------------------------------------
   // Tiled / compressed layout coverage: a minimal spec-conformant TIFF
   // ENCODER (strips or tiles; none/DEFLATE/TIFF-LZW; horizontal
@@ -390,6 +399,6 @@ class GeoTiffSpec extends AnyFunSuite {
       val (lon2, lat2) = Crs.mercatorToWgs84(x, y)
       assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9)
     }
-    assertThrows[IllegalArgumentException](Crs.toWgs84(27700))
+    assertThrows[IllegalArgumentException](Crs.toWgs84(29902)) // Irish grid: not in the table
   }
 }
