@@ -107,10 +107,16 @@ object Chop {
       }
       if (bMinLat <= fileBbox.minLat) bMinLat = fileBbox.minLat
       if (bMaxLat >= fileBbox.maxLat) bMaxLat = fileBbox.maxLat
-      val minLonIdx = ((bMinLon - fileBbox.minLon) / (fileBbox.maxLon - fileBbox.minLon) / lonInc).toInt
-      val minLatIdx = -1 * ((bMinLat - fileBbox.minLat) / (fileBbox.maxLat - fileBbox.minLat) / latInc).toInt
-      val maxLonIdx = ((bMaxLon - fileBbox.maxLon) / (fileBbox.maxLon - fileBbox.minLon) / lonInc).toInt
-      val maxLatIdx = -1 * ((bMaxLat - fileBbox.maxLat) / (fileBbox.maxLat - fileBbox.minLat) / latInc).toInt
+      // grid-index form Δ/inc. The reference (file.py:609-628) divides by
+      // the file EXTENT as well — dimensionally a no-op for its 1-degree
+      // hgt tiles (extent = 1) but silently wrong for any other extent
+      // (projected meters, windowed tiffs), where it truncates nothing /
+      // over-truncates; the goldens pin the 1-degree case, where the two
+      // forms agree exactly
+      val minLonIdx = ((bMinLon - fileBbox.minLon) / lonInc).toInt
+      val minLatIdx = -1 * ((bMinLat - fileBbox.minLat) / latInc).toInt
+      val maxLonIdx = ((bMaxLon - fileBbox.maxLon) / lonInc).toInt
+      val maxLatIdx = -1 * ((bMaxLat - fileBbox.maxLat) / latInc).toInt
       val realMinLon = fileBbox.minLon + minLonIdx * lonInc
       val realMinLat = fileBbox.minLat - minLatIdx * latInc
       val realMaxLon = fileBbox.maxLon + maxLonIdx * lonInc

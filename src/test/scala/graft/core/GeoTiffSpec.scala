@@ -91,11 +91,23 @@ class GeoTiffSpec extends AnyFunSuite {
     * nearest-neighbour at each cell's back-projected lon/lat, encode it
     * as a GeoTIFF with the given EPSG, and require the traced contours to
     * come out reprojected to lon/lat inside the sampled window. */
-  private def projectedToulonE2e(
+  private lazy val toulonGrid =
+    Hgt.decode(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(hgtPath)))
+
+  /** Nearest-neighbour sample of the real N43E006 terrain at (lon, lat). */
+  private def sampleToulon(lon: Double, lat: Double): Float = {
+    val hr = math.max(0, math.min(1200, math.round((44.0 - lat) * 1200.0).toInt))
+    val hc = math.max(0, math.min(1200, math.round((lon - 6.0) * 1200.0).toInt))
+    toulonGrid.values(hr * 1201 + hc).toFloat
+  }
+
+  /** Build the projected Toulon-window fixture (real terrain re-gridded
+    * uniformly in projected meters, the way national lidar ships) and
+    * return its temp path. */
+  private def projectedToulonTiff(
       name: String, epsg: Int,
       fwd: (Double, Double) => (Double, Double),
-      inv: (Double, Double) => (Double, Double)): Unit = {
-    val h = Hgt.decode(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(hgtPath)))
+      inv: (Double, Double) => (Double, Double)): String = {
     val (lo0, la0, lo1, la1) = (6.2, 43.2, 6.8, 43.8)
     val corners = Seq((lo0, la0), (lo0, la1), (lo1, la1), (lo1, la0)).map(fwd.tupled)
     // interior projected rect (inside all four corners) keeps every
@@ -110,9 +122,7 @@ class GeoTiffSpec extends AnyFunSuite {
     val vals = Array.tabulate(rows * cols) { k =>
       val r = k / cols; val c = k % cols
       val (lon, lat) = inv(minX + c * dx, maxY - r * dy)
-      val hr = math.max(0, math.min(1200, math.round((44.0 - lat) * 1200.0).toInt))
-      val hc = math.max(0, math.min(1200, math.round((lon - 6.0) * 1200.0).toInt))
-      h.values(hr * 1201 + hc)
+      sampleToulon(lon, lat)
     }
     val bytes = buildTiff(rows, cols, vals, compression = 8, predictor = 2, tiled = false,
       epsg = epsg, pixScale = (dx, dy), tiePoint = (minX, maxY))
@@ -120,6 +130,14 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(t.epsg == epsg)
     val tmp = java.nio.file.Files.createTempFile(name, ".tiff")
     java.nio.file.Files.write(tmp, bytes)
+    tmp.toString
+  }
+
+  private def projectedToulonE2e(
+      name: String, epsg: Int,
+      fwd: (Double, Double) => (Double, Double),
+      inv: (Double, Double) => (Double, Double)): Unit = {
+    val tmp = projectedToulonTiff(name, epsg, fwd, inv)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").appName(s"tiff-$name")
       .config("spark.sql.shuffle.partitions", "4")
@@ -127,7 +145,7 @@ class GeoTiffSpec extends AnyFunSuite {
     import graft.engine.RasterPipeline
     val cfg = JobConfig(
       contourStepSize = 500, maxNodesPerWay = 0, rdpEpsilon = None, maxNodesPerTile = 0)
-    val rs = RasterPipeline.contours(RasterPipeline.tiles(spark, Seq(tmp.toString), cfg), cfg)
+    val rs = RasterPipeline.contours(RasterPipeline.tiles(spark, Seq(tmp), cfg), cfg)
       .collect()
     assert(rs.nonEmpty)
     rs.foreach { r =>
@@ -163,6 +181,104 @@ class GeoTiffSpec extends AnyFunSuite {
     // parameterized-TM + datum-shift dispatch end to end: lat0 != 0,
     // Airy ellipsoid, and a non-null Helmert on BOTH directions
     projectedToulonE2e("osgb_toulon", 27700, Crs.wgs84ToOsgb, Crs.osgbToWgs84)
+  }
+
+  test("--area truncates a 3857 source through the per-axis transform") {
+    assume(Files.exists(Paths.get(mercPath)))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("tiff-3857-area")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import graft.engine.RasterPipeline
+    val cfg = JobConfig(contourStepSize = 500, maxNodesPerWay = 0, rdpEpsilon = None,
+      maxNodesPerTile = 0, area = Some("6.3:43.3:6.7:43.7"))
+    val rows = RasterPipeline.contours(
+      RasterPipeline.tiles(spark, Seq(mercPath), cfg), cfg).collect()
+    assert(rows.nonEmpty)
+    val tol = 0.01 // one coarse cell
+    rows.foreach { r =>
+      assert(r.minLon > 6.3 - tol && r.maxLon < 6.7 + tol, s"${(r.minLon, r.maxLon)}")
+      assert(r.minLat > 43.3 - tol && r.maxLat < 43.7 + tol, s"${(r.minLat, r.maxLat)}")
+    }
+    // UTM sources must refuse --area loudly (non-separable), steering to --poly
+    val cfgUtm = cfg.copy(area = Some("6.3:43.3:6.7:43.7"))
+    val utmPath = projectedToulonTiff("utm_area_refuse", 32632,
+      (lo, la) => Crs.wgs84ToUtm(lo, la, 32, north = true),
+      (x, y) => Crs.utmToWgs84(x, y, 32, north = true))
+    val ex = intercept[org.apache.spark.SparkException] {
+      RasterPipeline.tiles(spark, Seq(utmPath), cfgUtm).collect()
+    }
+    assert(ex.getMessage.contains("axis-separable") ||
+      Option(ex.getCause).exists(_.getMessage.contains("axis-separable")), ex.getMessage)
+  }
+
+  test("UTM tiff clipped by a sub-tile polygon matches the 4326 twin's clip semantics") {
+    assume(available)
+    // Projected-CRS clip polygons (reference file.py:310-365 passes a
+    // transform into polygon_mask): the UTM source is masked by
+    // reprojecting the densified polygon into grid meters, the 4326 twin
+    // by the classic lon/lat path. Same terrain, same polygon, two CRSs —
+    // the clip semantics must agree: identical level sets, per-level node
+    // mass within regridding tolerance, all coordinates confined.
+    val fwd: (Double, Double) => (Double, Double) =
+      (lo, la) => Crs.wgs84ToUtm(lo, la, 32, north = true)
+    val inv: (Double, Double) => (Double, Double) =
+      (x, y) => Crs.utmToWgs84(x, y, 32, north = true)
+    val utmPath = projectedToulonTiff("utm_clip", 32632, fwd, inv)
+    // 4326 twin over the same window at the same 301x301 resolution
+    val rows = 301; val cols = 301
+    val (lo0, la0, lo1, la1) = (6.2, 43.2, 6.8, 43.8)
+    val dlon = (lo1 - lo0) / (cols - 1); val dlat = (la1 - la0) / (rows - 1)
+    val gVals = Array.tabulate(rows * cols) { k =>
+      val r = k / cols; val c = k % cols
+      sampleToulon(lo0 + c * dlon, la1 - r * dlat)
+    }
+    val gBytes = buildTiff(rows, cols, gVals, compression = 8, predictor = 2, tiled = false,
+      epsg = 4326, pixScale = (dlon, dlat), tiePoint = (lo0, la1))
+    val gTmp = Files.createTempFile("geo_clip", ".tiff")
+    Files.write(gTmp, gBytes)
+    val poly = Array(6.35, 43.35, 6.65, 43.35, 6.65, 43.65, 6.35, 43.65)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("tiff-clip-twin")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import graft.engine.RasterPipeline
+    val base = JobConfig(
+      contourStepSize = 100, maxNodesPerWay = 0, rdpEpsilon = None, maxNodesPerTile = 0)
+    val cfgPoly = base.copy(polygons = Some(Seq(poly)))
+    def run(path: String, cfg: JobConfig) =
+      RasterPipeline.contours(RasterPipeline.tiles(spark, Seq(path), cfg), cfg).collect()
+    val mUtm = run(utmPath, cfgPoly)
+    val mGeo = run(gTmp.toString, cfgPoly)
+    val plainUtm = run(utmPath, base)
+    assert(mUtm.nonEmpty && mGeo.nonEmpty)
+    // the clip genuinely prunes the UTM source
+    val plainNodes = plainUtm.map(_.nbNodes.toLong).sum
+    val utmNodes = mUtm.map(_.nbNodes.toLong).sum
+    assert(utmNodes > 0 && utmNodes < plainNodes / 2, s"$utmNodes vs $plainNodes")
+    // every traced UTM coordinate stays within one (coarse) cell of the poly
+    val tol = 2 * dlon
+    mUtm.foreach { row =>
+      var i = 0
+      while (i < row.coords.length) {
+        assert(row.coords(i) >= 6.35 - tol && row.coords(i) <= 6.65 + tol,
+          s"lon ${row.coords(i)} escapes the clip polygon")
+        assert(row.coords(i + 1) >= 43.35 - tol && row.coords(i + 1) <= 43.65 + tol,
+          s"lat ${row.coords(i + 1)} escapes the clip polygon")
+        i += 2
+      }
+    }
+    // same level set, and per-level node mass within regridding tolerance
+    // (the two fixtures sample the same terrain on different lattices)
+    val byLevelU = mUtm.groupBy(_.elevation).view.mapValues(_.map(_.nbNodes.toLong).sum).toMap
+    val byLevelG = mGeo.groupBy(_.elevation).view.mapValues(_.map(_.nbNodes.toLong).sum).toMap
+    assert(byLevelU.keySet == byLevelG.keySet,
+      s"levels ${byLevelU.keySet.toSeq.sorted} vs ${byLevelG.keySet.toSeq.sorted}")
+    byLevelU.foreach { case (lvl, nu) =>
+      val ng = byLevelG(lvl)
+      val ratio = nu.toDouble / ng
+      assert(ratio > 0.7 && ratio < 1.4, s"level $lvl: UTM $nu vs 4326 $ng nodes")
+    }
   }
 
   // ------------------------------------------------------------------
