@@ -15,6 +15,19 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_STATESTORE=rocksdb switches the streaming gates to
+      // RocksDB + changelog checkpointing. Measured A/B at sf0.1
+      // (best-of-5 warm, 2026-08-17): rocksdb 7.21 s vs default 6.30 s
+      // over q40/q41/q42/q44/q55 — per-batch store open/commit overhead
+      // dominates the tiny gate state, so the default stays the in-heap
+      // HDFS-backed provider HERE; at deploy state sizes (100 TB-scale
+      // keyed state that cannot fit executor heap) RocksDB is the right
+      // choice and this knob is the one switch.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warm the JVM/codegen once with the cheapest query so per-query times

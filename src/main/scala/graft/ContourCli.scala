@@ -2,7 +2,6 @@ package graft
 
 import graft.core._
 import graft.core.MarchingSquares.GridView
-import java.nio.file.{Files, Paths}
 
 /** Minimal CLI surface over the core kernels (no Spark): decode an .hgt
   * or GeoTIFF file, optionally truncate to an area, chop, trace contours
@@ -31,7 +30,7 @@ object ContourCli {
         case other => System.err.println(s"unknown option: $other"); sys.exit(2)
       }
     }
-    val bytes = Files.readAllBytes(Paths.get(file))
+    val bytes = Fs.readAllBytes(file)
     val (grid, bbox, epsg) =
       if (Tiff.isTiff(file)) {
         val t = Tiff.decode(bytes, cfg.voidMax)

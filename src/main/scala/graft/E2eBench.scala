@@ -65,7 +65,7 @@ object E2eBench {
     // reference PACA parameters (README:128-133)
     val cfg = JobConfig(contourStepSize = 10, rdpEpsilon = Some(0.00001))
     val results = (1 to reps).map { rep =>
-      val outDir = java.nio.file.Files.createTempDirectory(s"e2e$rep").toString
+      val outDir = graft.core.Fs.createTempDir(s"e2e$rep")
       val t0 = System.nanoTime()
       val report = RasterPipeline.runResumable(
         spark, files, outDir, cfg, format = graft.sinks.TileSink.PbfFormat)
@@ -90,9 +90,9 @@ object E2eBench {
       "(the reference's <60 s likewise amortizes startup over 104 tiles).\n")
     print(sb)
     // replace the existing e2e section in place (appending duplicates it)
-    val p = java.nio.file.Paths.get("BENCH.md")
-    if (java.nio.file.Files.exists(p)) {
-      val old = java.nio.file.Files.readString(p)
+    val p = "BENCH.md"
+    if (graft.core.Fs.exists(p)) {
+      val old = graft.core.Fs.readString(p)
       val marker = "## End-to-end vs reference anchor"
       val updated = old.indexOf(marker) match {
         case -1 => old + sb.toString
@@ -102,7 +102,7 @@ object E2eBench {
           old.substring(0, i).stripTrailing() + "\n" + sb.toString + "\n" +
             tail.mkString("\n") + (if (tail.nonEmpty) "\n" else "")
       }
-      java.nio.file.Files.writeString(p, updated)
+      graft.core.Fs.writeString(p, updated)
     }
   }
 }

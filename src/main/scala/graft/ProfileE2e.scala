@@ -24,7 +24,7 @@ object ProfileE2e {
     val files = Seq(
       "/root/reference/tests/data/N43E006.hgt",
       "/root/reference/tests/data/N43E007.hgt")
-    val outDir = java.nio.file.Files.createTempDirectory("profile").toString
+    val outDir = graft.core.Fs.createTempDir("profile")
     (1 to sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "2").toInt).foreach { rep =>
       val t0 = System.nanoTime()
       val ts = RasterPipeline.tiles(spark, files, cfg)

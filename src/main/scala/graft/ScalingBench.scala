@@ -308,7 +308,7 @@ object ScalingBench {
     sb.append("memory ceiling scales with the cluster instead of being fixed — the\n")
     sb.append("single-VM stand-in understates the engine's cluster efficiency.\n")
     println(sb.toString)
-    val out = java.nio.file.Paths.get("BENCH.md")
+    val out = "BENCH.md"
     val header = "# BENCH — graft engine measurements\n\n" +
       "Flagship workload: 2 SRTM tiles -> chop -> marching-squares contours; " +
       "synthetic pages -> geocode -> cell prejoin + PIP join vs contour polygons.\n" +
@@ -316,12 +316,12 @@ object ScalingBench {
     // replace only the scaling section; keep every OTHER section of the
     // existing BENCH.md (repeatability notes, e2e anchor, ceiling studies)
     val preserved =
-      if (java.nio.file.Files.exists(out)) {
+      if (graft.core.Fs.exists(out)) {
         // drop everything up to and including the old scaling section (its
         // "###" subsections too); keep every other "## " section, and
         // defensively drop any FURTHER "## Scaling run" section so a
         // reordered file can never end up with two
-        val kept = java.nio.file.Files.readString(out).linesIterator.toSeq
+        val kept = graft.core.Fs.readString(out).linesIterator.toSeq
           .dropWhile(l => !l.startsWith("## ") || l.startsWith("## Scaling run"))
         val noStray = scala.collection.mutable.ArrayBuffer.empty[String]
         var skipping = false
@@ -331,6 +331,6 @@ object ScalingBench {
         }
         noStray.mkString("\n") + "\n"
       } else ""
-    java.nio.file.Files.writeString(out, header + sb.toString + "\n" + preserved)
+    graft.core.Fs.writeString(out, header + sb.toString + "\n" + preserved)
   }
 }

@@ -180,6 +180,22 @@ object Fs {
         s"publishOnce: $dest carries no $marker after publish (raced beyond retry budget?)")
   }
 
+  /** Write raw bytes, truncating any existing file. */
+  def writeBytes(path: String, bytes: Array[Byte]): Unit = {
+    val out = create(path)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Unique driver-local scratch directory under java.io.tmpdir (bench /
+    * profile harness use; pipeline outputs take caller-supplied roots on
+    * any Hadoop-FS scheme instead). */
+  def createTempDir(prefix: String): String = {
+    val d = s"${sys.props("java.io.tmpdir").stripSuffix("/")}/$prefix-" +
+      java.util.UUID.randomUUID().toString.take(12)
+    mkdirs(d)
+    d
+  }
+
   /** Non-recursive file listing (names only). */
   def listFiles(dir: String): Seq[String] = {
     val p = new Path(dir)
@@ -196,5 +212,16 @@ object Fs {
     val f = fs(dir)
     if (!f.exists(p)) return Nil
     f.listStatus(p).toSeq.filter(_.isFile).map(s => (s.getPath.toString, s.getLen))
+  }
+
+  /** Like [[listFilesWithLen]] but also carrying the modification time —
+    * still one listStatus round trip. For content fingerprints: a
+    * regenerated file of the same name AND size still moves its mtime. */
+  def listFilesWithStat(dir: String): Seq[(String, Long, Long)] = {
+    val p = new Path(dir)
+    val f = fs(dir)
+    if (!f.exists(p)) return Nil
+    f.listStatus(p).toSeq.filter(_.isFile)
+      .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
   }
 }

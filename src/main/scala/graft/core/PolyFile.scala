@@ -39,5 +39,5 @@ object PolyFile {
   }
 
   def parseFile(path: String): Parsed =
-    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+    parse(new String(Fs.readAllBytes(path), "UTF-8"))
 }

@@ -33,15 +33,17 @@ object Queries {
       .stripSuffix("/")
 
   /** Content fingerprint of an input table: full path + parquet file names
-    * + lengths folded through SplitMix64 (the ArchiveSource
-    * mirrorFingerprint recipe). Keying the published-table cache on this —
-    * not on a 32-bit path hash — means regenerated input data at the same
-    * path rebuilds the derived table, and two distinct dirs can never
-    * silently alias to one cache entry. */
+    * + lengths + modification times (one listStatus round trip) folded
+    * through SplitMix64 (the ArchiveSource mirrorFingerprint recipe).
+    * Keying the published-table cache on this — not on a 32-bit path
+    * hash — means regenerated input data at the same path rebuilds the
+    * derived table even when the rewrite lands byte-for-byte the same
+    * size (mtime still moves), and two distinct dirs can never silently
+    * alias to one cache entry. */
   private[graft] def tableFingerprint(dir: String, table: String): String = {
     val path = s"$dir/$table.parquet"
-    val entries = graft.core.Fs.listFilesWithLen(path)
-      .map { case (p, l) => s"${p.split('/').last}:$l" }
+    val entries = graft.core.Fs.listFilesWithStat(path)
+      .map { case (p, l, m) => s"${p.split('/').last}:$l:$m" }
       .sorted
     val h = (path +: entries).foldLeft(0x9e3779b97f4a7c15L) { (acc, e) =>
       e.foldLeft(graft.functions.SplitMix64.mix(acc)) { (a, ch) =>
@@ -1629,7 +1631,7 @@ object Queries {
         .map { tr =>
           val p = if (tr.path.startsWith("file:")) new java.net.URI(tr.path).getPath else tr.path
           val g = graft.core.Hgt.decode(
-            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), cfg.voidMax)
+            graft.core.Fs.readAllBytes(p), cfg.voidMax)
           val gv = new graft.core.MarchingSquares.GridView(
             g.values, g.mask, tr.rowOff * tr.fullCols + tr.colOff, tr.fullCols, tr.rows, tr.cols)
           val (mn, mx) = graft.core.Chop.elevRange(gv)

@@ -98,9 +98,17 @@ private[sources] object ZipHgt {
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        val name = e.getName.split('/').last
+        // case-insensitive extension + normalized (uppercase-stem) cache
+        // name: the reference lowercases before the endswith test
+        // (viewfinder archives ship N01W056.HGT / n01w056.hgt variants),
+        // and the `$key.hgt` lookup side always asks in upper case — a
+        // case-preserving extract would cache under a name never found
+        val rawName = e.getName.split('/').last
+        val isHgt = rawName.toLowerCase(java.util.Locale.ROOT).endsWith(".hgt")
+        val name = if (isHgt) rawName.dropRight(4).toUpperCase(java.util.Locale.ROOT) + ".hgt"
+                   else rawName
         val dst = s"$dir/$name"
-        if (!e.isDirectory && name.endsWith(".hgt")) {
+        if (!e.isDirectory && isHgt) {
           seen += name.stripSuffix(".hgt")
           if (!valid(dst)) {
             val tmp = s"$dir/.$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp"
@@ -176,9 +184,11 @@ final class ArchiveSource(
           val names = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
           var e = zin.getNextEntry
           while (e != null) {
+            // same case normalization as ZipHgt.extractAll: the lookup
+            // side keys on the uppercase stem
             val name = e.getName.split('/').last
-            if (!e.isDirectory && name.endsWith(".hgt"))
-              names += ((name.stripSuffix(".hgt"), archive))
+            if (!e.isDirectory && name.toLowerCase(java.util.Locale.ROOT).endsWith(".hgt"))
+              names += ((name.dropRight(4).toUpperCase(java.util.Locale.ROOT), archive))
             zin.closeEntry()
             e = zin.getNextEntry
           }
@@ -290,7 +300,8 @@ final class UriTemplateSource(
       else if (uri.endsWith(".zip")) {
         val zin = new java.util.zip.ZipInputStream(raw)
         var e = zin.getNextEntry
-        while (e != null && (e.isDirectory || !e.getName.endsWith(".hgt"))) {
+        while (e != null &&
+            (e.isDirectory || !e.getName.toLowerCase(java.util.Locale.ROOT).endsWith(".hgt"))) {
           zin.closeEntry(); e = zin.getNextEntry
         }
         if (e == null) throw new java.io.IOException(s"no .hgt member in $uri")

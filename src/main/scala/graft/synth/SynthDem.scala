@@ -1,7 +1,5 @@
 package graft.synth
 
-import java.nio.file.{Files, Paths}
-
 /** Deterministic synthetic SRTM tiles (the zero-egress replacement for the
   * reference's download sources, SURVEY.md §2.1 S8): seeded sum of 2-D
   * sinusoids + hash noise, int16-clamped, big-endian .hgt layout. */
@@ -23,9 +21,9 @@ object SynthDem {
   /** Write key.hgt (side x side big-endian int16) under dir; idempotent. */
   def writeHgt(dir: String, lat0: Int, lon0: Int, side: Int = 1201): String = {
     val key = graft.core.Hgt.tileKey(lat0, lon0)
-    val path = Paths.get(dir, s"$key.hgt")
-    if (!Files.exists(path)) {
-      Files.createDirectories(Paths.get(dir))
+    val path = s"$dir/$key.hgt"
+    if (!graft.core.Fs.exists(path)) {
+      graft.core.Fs.mkdirs(dir)
       val bytes = new Array[Byte](side * side * 2)
       var i = 0
       var r = 0
@@ -44,17 +42,20 @@ object SynthDem {
       // the same key (parallel bench/verify runs sharing a cache) must
       // not truncate each other's in-flight tmp or crash on a lost move —
       // the same hardening ArchiveSource/UriTemplateSource carry
-      val tmp = Paths.get(dir, s".$key.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-      Files.write(tmp, bytes)
+      val tmp = s"$dir/.$key.${java.util.UUID.randomUUID().toString.take(8)}.tmp"
+      graft.core.Fs.writeBytes(tmp, bytes)
       // the tmp name is per-attempt unique, so the only benign failure is
-      // a concurrent writer having published identical content first —
-      // anything else (vanished dir, ...) must surface, not be swallowed
-      try Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // a concurrent writer having published identical content first
+      // (local FS atomically replaces with identical bytes; HDFS-style
+      // FSes refuse, validated below) — anything else (vanished dir, ...)
+      // must surface, not be swallowed
+      try graft.core.Fs.renameNoClobber(tmp, path)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
+        case ex: java.io.IOException =>
+          graft.core.Fs.delete(tmp)
+          if (!graft.core.Fs.exists(path)) throw ex
       }
     }
-    path.toString
+    path
   }
 }

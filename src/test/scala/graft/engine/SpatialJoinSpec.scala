@@ -86,6 +86,33 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(fast.toSeq == brute.toSeq)
   }
 
+  test("ring-expansion kNN terminates and stays exact with all mass in one far cell") {
+    import spark.implicits._
+    // worst case for the doubling loop: the query's own neighbourhood is
+    // empty for ~115 rings — every page sits in a single cell at the
+    // opposite corner of the tile, so only the ring that first spans the
+    // full diagonal can finalize. The finalize rule needs the k-th
+    // DISTANCE under the (ring-1)*cellSize guarantee, not mere k
+    // candidates — with euclid diag ~1.27 deg and 1/128-deg cells the
+    // loop must run past ring 164 to 256 and still return the exact set.
+    val far = (0 until 20).map { i =>
+      val lon = 6.9 + (i % 5) * 1e-4; val lat = 43.9 + (i / 5) * 1e-4
+      (100L + i, lon, lat, graft.core.Cells.cellId(lon, lat, Res))
+    }.toDF("page_id", "lon", "lat", "cell")
+    val queries = Seq((0L, 6.0, 43.0))
+    val fast = SpatialJoin.knn(far, queries, k = 5, res = Res)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val brute = SpatialJoin.knnBrute(far, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(fast.toSeq == brute.toSeq && fast.length == 5)
+    // at the maxRing bound the operator refuses loudly (names the query)
+    // instead of returning a silently short / unproven result set
+    val ex = intercept[IllegalArgumentException] {
+      SpatialJoin.knn(far, queries, k = 5, res = Res, maxRing = 4)
+    }
+    assert(ex.getMessage.contains("did not converge") && ex.getMessage.contains("0"))
+  }
+
   test("batch kNN near the antimeridian matches brute force (no lon wrap)") {
     import spark.implicits._
     // points straddling lon +/-180: under the plain-Euclidean metric the

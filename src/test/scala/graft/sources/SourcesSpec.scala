@@ -86,6 +86,32 @@ class SourcesSpec extends AnyFunSuite {
     // this direct-instance test pins the unpack/caching contract)
   }
 
+  test("archive members with .HGT / lowercase-stem names normalize to the cache key") {
+    // the reference lowercases before its endswith('.hgt') test
+    // (viewfinder archives ship mixed-case member names); a
+    // case-preserving extract would cache n43e006.hgt under a name the
+    // uppercase `$key.hgt` lookup never finds and the index self-heal
+    // would then drop the area permanently
+    val root = java.nio.file.Files.createTempDirectory("caseroot").toString
+    val mirror = java.nio.file.Files.createTempDirectory("casemirror").toString
+    val syn = new SynthSource
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$mirror/N040E005.zip"))
+    try Seq("N43E006" -> "subdir/n43e006.hgt", "N44E007" -> "N44E007.HGT").foreach {
+      case (k, member) =>
+        val p = syn.fetch(root, k, 3).get
+        zos.putNextEntry(new java.util.zip.ZipEntry(member))
+        zos.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+        zos.closeEntry()
+    } finally zos.close()
+    val arch = new ArchiveSource(mirror)
+    val cacheRoot = java.nio.file.Files.createTempDirectory("casecache").toString
+    // both mixed-case members resolve under the canonical uppercase names
+    assert(arch.fetch(cacheRoot, "N43E006", 3).contains(s"$cacheRoot/ARCH3/N43E006.hgt"))
+    assert(arch.fetch(cacheRoot, "N44E007", 3).contains(s"$cacheRoot/ARCH3/N44E007.hgt"))
+    assert(new java.io.File(s"$cacheRoot/ARCH3/N44E007.hgt").length == 2L * 1201 * 1201)
+  }
+
   test("availability index feeds the priority pick (S13 -> J2)") {
     val root = java.nio.file.Files.createTempDirectory("idxroot").toString
     val syn = new SynthSource
