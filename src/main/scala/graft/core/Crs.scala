@@ -8,10 +8,12 @@ package graft.core
   * form), and two PARAMETERIZED projected families backed by an EPSG
   * constant table: transverse Mercator (ellipsoidal, 6th-order Krüger
   * series — the formulation GeographicLib/proj use, accurate to
-  * nanometers inside a zone) covering the UTM zones EPSG:326xx/327xx and
-  * British National Grid EPSG:27700 (Airy 1830 + the published OSGB
-  * Helmert datum shift), and Lambert conformal conic 2SP (Snyder closed
-  * forms) covering Lambert-93 EPSG:2154. These matter because
+  * nanometers inside a zone) covering the UTM zones EPSG:326xx/327xx,
+  * ETRS89/NAD83 UTM EPSG:258xx/269xx (GRS80 instances, null datum shift
+  * — see grs80UtmFrame), and British National Grid EPSG:27700 (Airy 1830
+  * + the published OSGB Helmert datum shift), and Lambert conformal
+  * conic 2SP (Snyder closed forms) covering Lambert-93 EPSG:2154. These
+  * matter because
   * lidar-derived national DEMs ship in national projected grids.
   * Other codes fail loudly rather than silently mis-projecting.
   * All formulas public; independent implementation.
@@ -159,6 +161,23 @@ object Crs {
       new TransverseMercator(Wgs84, 0.9996, utmCentralMeridian(z), 0.0,
         500000.0, if (n) 0.0 else 10000000.0)
     })
+  }
+
+  private val grs80TmCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, TransverseMercator]()
+  /** The GRS80-ellipsoid UTM TM instance for `zone` (northern hemisphere)
+    * — the projection frame of ETRS89 / UTM (EPSG:258xx, e.g. the 25832
+    * German national lidar and Copernicus DGM products ship in) and
+    * NAD83 / UTM (EPSG:269xx, USGS products). Datum: ETRS89 and NAD83
+    * are treated as coincident with WGS84 — the realizations drift
+    * sub-meter (ETRS89 ~0.8 m by plate motion, NAD83 ~1.5 m), below a
+    * DEM cell at any product resolution >= 2 m and the same null
+    * transform PROJ applies absent an explicit epoch; the OSGB 27700
+    * path shows what a real (multi-meter) datum shift looks like here. */
+  def grs80UtmFrame(zone: Int): TransverseMercator = {
+    require(zone >= 1 && zone <= 60, s"UTM zone $zone out of range 1..60")
+    grs80TmCache.computeIfAbsent(zone, z =>
+      new TransverseMercator(Grs80, 0.9996, utmCentralMeridian(z), 0.0, 500000.0, 0.0))
   }
 
   /** British National Grid EPSG:27700 projection frame (OSGB36 datum):
@@ -337,6 +356,84 @@ object Crs {
   def lambert93ToWgs84(x: Double, y: Double): (Double, Double) =
     Lambert93.inverse(x, y)
 
+  // ------------------------- Lambert azimuthal equal-area (LAEA) ---
+  /** Ellipsoidal Lambert azimuthal equal-area, oblique aspect — the
+    * projection of the pan-European grid EPSG:3035 (ETRS89-LAEA), which
+    * EU-DEM / Copernicus European mosaics ship in. Snyder 1987 closed
+    * forms (eqs. 3-12, 24-2..24-6 forward; 24-16..24-21 inverse) via the
+    * authalic latitude; the authalic->geodetic inverse solves
+    * q(phi) = qp sin(beta) by Newton on the exact q instead of the
+    * published sin-series, so round trips close to machine precision
+    * (the series truncates at e^6, ~1 cm). Equal-area is the anchor: the
+    * forward Jacobian must equal the ellipsoidal area element everywhere
+    * (tested numerically, an oracle independent of these formulas). */
+  final class LambertAzimuthalEqualArea(
+      val ell: Ellipsoid,
+      lat0Deg: Double, lon0Deg: Double,
+      falseE: Double, falseN: Double) extends Serializable {
+    private val E2 = ell.e2
+    private val E = ell.e
+    private val Lon0 = math.toRadians(lon0Deg)
+    /** Snyder eq. 3-12: q(phi), proportional to the area between the
+      * equator and phi. */
+    private def q(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1.0 - E2) * (s / (1.0 - E2 * s * s) -
+        (1.0 / (2.0 * E)) * math.log((1.0 - E * s) / (1.0 + E * s)))
+    }
+    private val Qp = q(math.Pi / 2.0)
+    private val Phi0 = math.toRadians(lat0Deg)
+    private val Beta0 = math.asin(q(Phi0) / Qp)
+    private val Rq = ell.a * math.sqrt(Qp / 2.0)
+    private val M0 = { val s = math.sin(Phi0); math.cos(Phi0) / math.sqrt(1.0 - E2 * s * s) }
+    private val D = ell.a * M0 / (Rq * math.cos(Beta0))
+    private val SinB0 = math.sin(Beta0)
+    private val CosB0 = math.cos(Beta0)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val lam = math.toRadians(lon) - Lon0
+      val beta = math.asin(math.max(-1.0, math.min(1.0, q(math.toRadians(lat)) / Qp)))
+      val sb = math.sin(beta); val cb = math.cos(beta)
+      val b = Rq * math.sqrt(2.0 / (1.0 + SinB0 * sb + CosB0 * cb * math.cos(lam)))
+      (falseE + b * D * cb * math.sin(lam),
+        falseN + (b / D) * (CosB0 * sb - SinB0 * cb * math.cos(lam)))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = (x - falseE) / D
+      val dy = D * (y - falseN)
+      val rho = math.hypot(dx, dy)
+      if (rho < 1e-12) return (lon0Deg, lat0Deg)
+      val ce = 2.0 * math.asin(math.max(-1.0, math.min(1.0, rho / (2.0 * Rq))))
+      val sCe = math.sin(ce); val cCe = math.cos(ce)
+      val sinBeta = cCe * SinB0 + dy * sCe * CosB0 / rho
+      val lam = math.atan2(dx * sCe, rho * CosB0 * cCe - dy * SinB0 * sCe)
+      // Newton on the exact q: solve q(phi) = Qp sinBeta;
+      // dq/dphi = 2(1-e^2) cos(phi) / (1 - e^2 sin^2 phi)^2
+      val target = Qp * math.max(-1.0, math.min(1.0, sinBeta))
+      var phi = math.asin(math.max(-1.0, math.min(1.0, sinBeta))) // authalic seed
+      var i = 0
+      var delta = 1.0
+      while (i < 10 && math.abs(delta) > 1e-16) {
+        val s = math.sin(phi); val d = 1.0 - E2 * s * s
+        val dq = 2.0 * (1.0 - E2) * math.cos(phi) / (d * d)
+        if (dq < 1e-18) { i = 10 } // at the pole cos -> 0; phi is already there
+        else {
+          delta = (q(phi) - target) / dq
+          phi -= delta
+          i += 1
+        }
+      }
+      (math.toDegrees(Lon0 + lam), math.toDegrees(phi))
+    }
+  }
+
+  /** EPSG:3035 — ETRS89-extended / LAEA Europe (origin 52N 10E,
+    * FE 4321000, FN 3210000). GRS80 with the same documented null
+    * ETRS89~WGS84 datum treatment as the 258xx UTM zones. */
+  val LaeaEurope: LambertAzimuthalEqualArea =
+    new LambertAzimuthalEqualArea(Grs80, 52.0, 10.0, 4321000.0, 3210000.0)
+
   /** (x, y) in EPSG:3857 meters -> (lon, lat) degrees. */
   def mercatorToWgs84(x: Double, y: Double): (Double, Double) = {
     val lon = math.toDegrees(x / EarthRadius)
@@ -360,13 +457,19 @@ object Crs {
       Some((x, y) => utmToWgs84(x, y, z - 32600, north = true))
     case z if z >= 32701 && z <= 32760 =>
       Some((x, y) => utmToWgs84(x, y, z - 32700, north = false))
+    case z if z >= 25828 && z <= 25838 => // ETRS89 / UTM 28N..38N
+      Some((x, y) => grs80UtmFrame(z - 25800).inverse(x, y))
+    case z if z >= 26901 && z <= 26923 => // NAD83 / UTM 1N..23N
+      Some((x, y) => grs80UtmFrame(z - 26900).inverse(x, y))
+    case 3035 => Some(LaeaEurope.inverse)
     // RGF93 (Lambert-93's datum) is coincident with WGS84 at cm level —
     // the same null-datum treatment pyproj applies at this accuracy
     case 2154 => Some(lambert93ToWgs84)
     case 27700 => Some(osgbToWgs84)
     case other =>
       throw new IllegalArgumentException(
-        s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM, 2154 Lambert-93, 27700 OSGB)")
+        s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM, " +
+        "258xx ETRS89-UTM, 269xx NAD83-UTM, 3035 LAEA-Europe, 2154 Lambert-93, 27700 OSGB)")
   }
 
   /** Reverse transform (WGS84 -> source CRS), the reference's
@@ -378,11 +481,17 @@ object Crs {
       Some((lon, lat) => wgs84ToUtm(lon, lat, z - 32600, north = true))
     case z if z >= 32701 && z <= 32760 =>
       Some((lon, lat) => wgs84ToUtm(lon, lat, z - 32700, north = false))
+    case z if z >= 25828 && z <= 25838 =>
+      Some((lon, lat) => grs80UtmFrame(z - 25800).forward(lon, lat))
+    case z if z >= 26901 && z <= 26923 =>
+      Some((lon, lat) => grs80UtmFrame(z - 26900).forward(lon, lat))
+    case 3035 => Some(LaeaEurope.forward)
     case 2154 => Some(wgs84ToLambert93)
     case 27700 => Some(wgs84ToOsgb)
     case other =>
       throw new IllegalArgumentException(
-        s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM, 2154 Lambert-93, 27700 OSGB)")
+        s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM, " +
+        "258xx ETRS89-UTM, 269xx NAD83-UTM, 3035 LAEA-Europe, 2154 Lambert-93, 27700 OSGB)")
   }
 
   /** True when lon depends only on x and lat only on y under toWgs84 —

@@ -1689,26 +1689,29 @@ object Queries {
            |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin))
 
   /** Pinned projection goldens for q56 (generated from the typed-map run,
-    * quantized to integers — see qCrsProject scaladoc). */
+    * quantized to integers — see qCrsProject scaladoc; the LAEA columns
+    * were regenerated from an independent Python transcription of the
+    * Snyder forms, so Scala-side drift against them is a real signal). */
   private val CrsProjectOracleSql: String =
     """SELECT CAST(pt_id AS BIGINT) AS pt_id,
       | CAST(utm_e_tmm AS BIGINT) AS utm_e_tmm, CAST(utm_n_tmm AS BIGINT) AS utm_n_tmm,
       | CAST(l93_e_tmm AS BIGINT) AS l93_e_tmm, CAST(l93_n_tmm AS BIGINT) AS l93_n_tmm,
+      | CAST(laea_e_tmm AS BIGINT) AS laea_e_tmm, CAST(laea_n_tmm AS BIGINT) AS laea_n_tmm,
       | CAST(rt_err_ndeg AS BIGINT) AS rt_err_ndeg
       |FROM (VALUES
-      | (0, 2572945472, 47706778222, 9462010661, 62214518662, 0),
-      | (1, 2632273841, 47771411725, 9516438441, 62283386094, 0),
-      | (2, 2691493001, 47836092886, 9570746190, 62352296091, 0),
-      | (3, 2750602790, 47900821745, 9624933874, 62421248562, 0),
-      | (4, 2809603046, 47965598338, 9679001462, 62490243418, 0),
-      | (5, 2868493604, 48030422701, 9732948919, 62559280569, 0),
-      | (6, 2927274302, 48095294870, 9786776215, 62628359927, 0),
-      | (7, 2985944975, 48160214878, 9840483315, 62697481401, 0),
-      | (8, 3044505458, 48225182758, 9894070188, 62766644903, 0),
-      | (9, 3102955587, 48290198544, 9947536800, 62835850342, 0),
-      | (10, 3161295195, 48355262264, 10000883118, 62905097631, 0),
-      | (11, 3219524116, 48420373950, 10054109110, 62974386680, 0)
-      |) AS t(pt_id, utm_e_tmm, utm_n_tmm, l93_e_tmm, l93_n_tmm, rt_err_ndeg)
+      | (0, 2572945472, 47706778222, 9462010661, 62214518662, 39959666055, 22244614025, 0),
+      | (1, 2632273841, 47771411725, 9516438441, 62283386094, 40020015455, 22308013918, 0),
+      | (2, 2691493001, 47836092886, 9570746190, 62352296091, 40080254322, 22371474969, 0),
+      | (3, 2750602790, 47900821745, 9624933874, 62421248562, 40140382467, 22434997042, 0),
+      | (4, 2809603046, 47965598338, 9679001462, 62490243418, 40200399700, 22498580003, 0),
+      | (5, 2868493604, 48030422701, 9732948919, 62559280569, 40260305832, 22562223717, 0),
+      | (6, 2927274302, 48095294870, 9786776215, 62628359927, 40320100674, 22625928048, 0),
+      | (7, 2985944975, 48160214878, 9840483315, 62697481401, 40379784037, 22689692860, 0),
+      | (8, 3044505458, 48225182758, 9894070188, 62766644903, 40439355733, 22753518017, 0),
+      | (9, 3102955587, 48290198544, 9947536800, 62835850342, 40498815572, 22817403382, 0),
+      | (10, 3161295195, 48355262264, 10000883118, 62905097631, 40558163367, 22881348817, 0),
+      | (11, 3219524116, 48420373950, 10054109110, 62974386680, 40617398929, 22945354185, 0)
+      |) AS t(pt_id, utm_e_tmm, utm_n_tmm, l93_e_tmm, l93_n_tmm, laea_e_tmm, laea_n_tmm, rt_err_ndeg)
       |ORDER BY pt_id""".stripMargin
 
   /** Projection-series golden: forward UTM-32N + Lambert-93 coordinates
@@ -1726,14 +1729,19 @@ object Queries {
         .map { case (id, lon, lat) =>
           val (ue, un) = graft.core.Crs.wgs84ToUtm(lon, lat, 32, north = true)
           val (le, ln) = graft.core.Crs.wgs84ToLambert93(lon, lat)
+          val (ae, an) = graft.core.Crs.LaeaEurope.forward(lon, lat)
           val (ulon, ulat) = graft.core.Crs.utmToWgs84(ue, un, 32, north = true)
           val (llon, llat) = graft.core.Crs.lambert93ToWgs84(le, ln)
-          val err = Seq(ulon - lon, ulat - lat, llon - lon, llat - lat).map(math.abs).max
+          val (alon, alat) = graft.core.Crs.LaeaEurope.inverse(ae, an)
+          val err = Seq(ulon - lon, ulat - lat, llon - lon, llat - lat,
+            alon - lon, alat - lat).map(math.abs).max
           (id, math.rint(ue * 10000).toLong, math.rint(un * 10000).toLong,
             math.rint(le * 10000).toLong, math.rint(ln * 10000).toLong,
+            math.rint(ae * 10000).toLong, math.rint(an * 10000).toLong,
             math.round(err * 1e9))
         }
-        .toDF("pt_id", "utm_e_tmm", "utm_n_tmm", "l93_e_tmm", "l93_n_tmm", "rt_err_ndeg")
+        .toDF("pt_id", "utm_e_tmm", "utm_n_tmm", "l93_e_tmm", "l93_n_tmm",
+          "laea_e_tmm", "laea_n_tmm", "rt_err_ndeg")
         .orderBy("pt_id")
     },
     Some(CrsProjectOracleSql))

@@ -77,10 +77,49 @@ class CrsUtmSpec extends AnyFunSuite {
     assert(math.abs(lo2 - 6.5) < 1e-10 && math.abs(la2 - 43.5) < 1e-10)
     val (xs, ys) = Crs.fromWgs84(32732).get(9.0, -20.0)
     assert(ys > 7000000.0, "south zone false northing")
-    intercept[IllegalArgumentException] { Crs.toWgs84(25832) }
+    intercept[IllegalArgumentException] { Crs.toWgs84(2056) } // Swiss LV95: not in the table
     intercept[IllegalArgumentException] { Crs.fromWgs84(29902) } // Irish grid: not in the table
     assert(Crs.toWgs84(4326).isEmpty && Crs.fromWgs84(4326).isEmpty)
     assert(!Crs.axisSeparable(32632) && Crs.axisSeparable(3857) && Crs.axisSeparable(4326))
+  }
+
+  test("ETRS89/NAD83 UTM (258xx/269xx): GRS80 meridian-arc anchor, round-trip, dispatch") {
+    // GRS80 Simpson integration — independent of the Krüger series
+    val f80 = 1.0 / 298.257222101
+    val e280 = f80 * (2.0 - f80)
+    def arc80(phiDeg: Double): Double = {
+      val phi = math.toRadians(phiDeg)
+      def f(t: Double): Double = {
+        val s = math.sin(t)
+        A * (1.0 - e280) / math.pow(1.0 - e280 * s * s, 1.5)
+      }
+      val steps = 20000; val h = phi / steps
+      var sum = f(0.0) + f(phi)
+      var i = 1
+      while (i < steps) { sum += (if (i % 2 == 1) 4.0 else 2.0) * f(i * h); i += 1 }
+      sum * h / 3.0
+    }
+    // central-meridian anchor for EPSG:25832 (zone 32, cm = 9E)
+    for (lat <- Seq(47.0, 50.5, 54.9)) {
+      val (e, n) = Crs.fromWgs84(25832).get(9.0, lat)
+      assert(math.abs(e - 500000.0) < 1e-6)
+      assert(math.abs(n - 0.9996 * arc80(lat)) < 1e-3, s"lat=$lat northing $n")
+    }
+    // round-trip closure through the dispatch (ETRS89 and NAD83 ranges)
+    for ((epsg, lon, lat) <- Seq((25832, 11.57, 48.14), (26910, -122.3, 47.6))) {
+      val (x, y) = Crs.fromWgs84(epsg).get(lon, lat)
+      val (lo2, la2) = Crs.toWgs84(epsg).get(x, y)
+      assert(math.abs(lo2 - lon) < 1e-10 && math.abs(la2 - lat) < 1e-10, s"EPSG:$epsg")
+    }
+    // the GRS80 instance is the WGS84 instance to sub-mm (the ellipsoids
+    // differ in the 12th digit of 1/f) — the 258xx/269xx value is the
+    // EPSG-code acceptance + documented null datum shift, not new math
+    val (xw, yw) = Crs.wgs84ToUtm(10.7, 52.3, 32, north = true)
+    val (xg, yg) = Crs.fromWgs84(25832).get(10.7, 52.3)
+    assert(math.hypot(xw - xg, yw - yg) < 1e-3)
+    // projected CRSs: not axis-separable (clip polygons take the
+    // densify-reproject path, --area refuses)
+    assert(!Crs.axisSeparable(25832) && !Crs.axisSeparable(26910))
   }
 
   test("densifyReproject bounds the chord error under a meter") {

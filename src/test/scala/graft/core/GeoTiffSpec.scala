@@ -183,6 +183,20 @@ class GeoTiffSpec extends AnyFunSuite {
     projectedToulonE2e("osgb_toulon", 27700, Crs.wgs84ToOsgb, Crs.osgbToWgs84)
   }
 
+  test("ETRS89 UTM 25832 tiff traces contours in WGS84 (GRS80 TM instance)") {
+    assume(available)
+    projectedToulonE2e("etrs_toulon", 25832,
+      (lo, la) => Crs.fromWgs84(25832).get(lo, la),
+      (x, y) => Crs.toWgs84(25832).get(x, y))
+  }
+
+  test("LAEA 3035 tiff traces contours in WGS84 (equal-area family e2e)") {
+    assume(available)
+    projectedToulonE2e("laea_toulon", 3035,
+      (lo, la) => Crs.fromWgs84(3035).get(lo, la),
+      (x, y) => Crs.toWgs84(3035).get(x, y))
+  }
+
   test("--area truncates a 3857 source through the per-axis transform") {
     assume(Files.exists(Paths.get(mercPath)))
     val spark = org.apache.spark.sql.SparkSession.builder()
