@@ -104,4 +104,47 @@ class ToulonGoldenSpec extends AnyFunSuite {
       ("6.20 43.10 7.00 43.45", -4, 770),
       ("6.20 43.45 7.00 43.80", -12, 1703)))
   }
+
+  test("truncate is extent-independent: snapped outward to grid lines at any scale") {
+    // The reference's index formula divides by the file EXTENT as well as
+    // the increment — a no-op only because its hgt tiles are 1 degree.
+    // Pin the corrected delta/inc form on a 0.5-degree window and on a
+    // projected-meter grid, via the snap property (smallest grid-aligned
+    // superset of the clipped area) rather than re-deriving the indices.
+    def check(fb: BBox, rows: Int, cols: Int, area: String): Unit = {
+      val lonInc = (fb.maxLon - fb.minLon) / (cols - 1)
+      val latInc = (fb.maxLat - fb.minLat) / (rows - 1)
+      val Array(ra0, rb0, ra1, rb1) = area.split(":").map(_.toDouble)
+      // truncate clamps the request to the file bbox before snapping
+      val a0 = math.max(ra0, fb.minLon); val a1 = math.min(ra1, fb.maxLon)
+      val b0 = math.max(rb0, fb.minLat); val b1 = math.min(rb1, fb.maxLat)
+      val s = Chop.truncate(Some(area), fb, rows, cols, lonInc, latInc)
+      val eps = 1e-9
+      // outward snap, within one cell
+      assert(s.bbox.minLon <= a0 + eps && s.bbox.minLon > a0 - lonInc - eps, s"$s")
+      assert(s.bbox.maxLon >= a1 - eps && s.bbox.maxLon < a1 + lonInc + eps, s"$s")
+      assert(s.bbox.minLat <= b0 + eps && s.bbox.minLat > b0 - latInc - eps, s"$s")
+      assert(s.bbox.maxLat >= b1 - eps && s.bbox.maxLat < b1 + latInc + eps, s"$s")
+      // grid-aligned: bbox corners sit on file grid lines
+      def aligned(v: Double, origin: Double, inc: Double) = {
+        val k = (v - origin) / inc
+        math.abs(k - math.rint(k)) < 1e-6
+      }
+      assert(aligned(s.bbox.minLon, fb.minLon, lonInc) && aligned(s.bbox.maxLon, fb.minLon, lonInc))
+      assert(aligned(s.bbox.minLat, fb.minLat, latInc) && aligned(s.bbox.maxLat, fb.minLat, latInc))
+      // slice shape consistent with the snapped bbox
+      assert(s.cols == math.rint((s.bbox.maxLon - s.bbox.minLon) / lonInc).toInt + 1, s"$s")
+      assert(s.rows == math.rint((s.bbox.maxLat - s.bbox.minLat) / latInc).toInt + 1, s"$s")
+      // slice offsets map back to the snapped corner coordinates
+      assert(math.abs(fb.minLon + s.colOff * lonInc - s.bbox.minLon) < eps)
+      assert(math.abs(fb.maxLat - s.rowOff * latInc - s.bbox.maxLat) < eps)
+    }
+    // half-degree windowed tiff (extent 0.5: the old formula would halve the deltas)
+    check(BBox(6.25, 43.25, 6.75, 43.75), 101, 101, "6.301:43.302:6.603:43.604")
+    // projected-meter grid (extent 1e5: the old formula would truncate nothing)
+    check(BBox(300000.0, 4800000.0, 400000.0, 4900000.0), 101, 101,
+      "312345:4811111:377777:4888888")
+    // 1-degree case still agrees with the golden above by construction
+    check(BBox(6.0, 43.0, 7.0, 44.0), 1201, 1201, "6.2:43.1:7.1:43.8")
+  }
 }
