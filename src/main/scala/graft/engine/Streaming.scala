@@ -22,10 +22,27 @@ object Streaming {
       .groupBy("event_type", "hour_epoch")
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
     val qn = s"stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream.format("memory").queryName(qn).outputMode("complete").start()
+    val q = withStatePartitionCap(spark, 8) {
+      agg.writeStream.format("memory").queryName(qn).outputMode("complete").start()
+    }
     try q.processAllAvailable()
     finally q.stop()
     spark.table(qn).orderBy("event_type", "hour_epoch")
+  }
+
+
+  /** Cap shuffle partitions for the duration of a streaming-query START
+    * (the conf binds at start and is restored right after). Stateful
+    * streaming cost has a per-(store instance x batch) commit term, and
+    * store instances = shuffle partitions; the gate inputs are
+    * single-batch with a few thousand keys, so 32 partitions buy no
+    * parallelism and pay 32 commits. q44 measured 6.4 -> 2.4 s when its
+    * cap landed (r3); at deploy scale the right cap is sized to state
+    * volume, not defaulted from the scan parallelism. */
+  private def withStatePartitionCap[T](spark: SparkSession, n: Int)(start: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try start finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** File-source streams need a directory: stream the parent dir with a
@@ -163,7 +180,9 @@ object Streaming {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_unique"))
     val qn = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream.format("memory").queryName(qn).outputMode("complete").start()
+    val q = withStatePartitionCap(spark, 8) {
+      agg.writeStream.format("memory").queryName(qn).outputMode("complete").start()
+    }
     try q.processAllAvailable()
     finally q.stop()
     spark.table(qn).orderBy("lang")
@@ -244,12 +263,10 @@ object Streaming {
     val qn = s"stream_attr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // stream-stream join state = 4 store instances PER shuffle partition,
     // each paying a per-batch commit: cap partitions for the join's
-    // stateful stage (the setting binds at query START; restored after)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try joined.writeStream.format("memory").queryName(qn).outputMode("append").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // stateful stage
+    val q = withStatePartitionCap(spark, 8) {
+      joined.writeStream.format("memory").queryName(qn).outputMode("append").start()
+    }
     try q.processAllAvailable()
     finally q.stop()
     spark.table(qn).orderBy("p_id", "view_us")
@@ -264,8 +281,10 @@ object Streaming {
       .as[Event]
     val out = sessionize(stream)
     val qn = s"stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = out.toDF().writeStream.format("memory").queryName(qn)
-      .outputMode("append").start()
+    val q = withStatePartitionCap(spark, 8) {
+      out.toDF().writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+    }
     try q.processAllAvailable()
     finally q.stop()
     spark.table(qn).orderBy("user_id")
