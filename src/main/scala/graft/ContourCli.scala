@@ -36,16 +36,15 @@ object ContourCli {
         val t = Tiff.decode(bytes, cfg.voidMax)
         (t.grid, t.bbox, t.epsg)
       } else (Hgt.decode(bytes, cfg.voidMax), Hgt.parseHgtFilename(file), 4326)
-    // --area degrees are WGS84: truncating a projected (e.g. 3857 metres)
-    // grid against them would silently produce a wrong/empty cut — fail
-    // loudly instead (mirrors RasterPipeline.tiles' guard)
-    require(epsg == 4326 || cfg.area.isEmpty,
-      s"--area is WGS84 degrees but $file is EPSG:$epsg; reproject or drop --area")
+    // --area degrees are WGS84: reproject the rect into the file CRS for
+    // separable sources, refuse loudly otherwise (same shared helper as
+    // RasterPipeline.tiles — the two surfaces cannot drift)
+    val nativeArea = cfg.area.map(a => Crs.nativeAreaString(a, epsg))
     val transform = Crs.toWgs84(epsg)
     val lonInc = (bbox.maxLon - bbox.minLon) / (grid.cols - 1)
     val latInc = (bbox.maxLat - bbox.minLat) / (grid.rows - 1)
     println(s"${file}: ${grid.rows} x ${grid.cols} points, bbox: (${bbox.minLon}, ${bbox.minLat}, ${bbox.maxLon}, ${bbox.maxLat})")
-    val start = Chop.truncate(cfg.area, bbox, grid.rows, grid.cols, lonInc, latInc)
+    val start = Chop.truncate(nativeArea, bbox, grid.rows, grid.cols, lonInc, latInc)
     val slices = Chop.chop(grid, start, latInc, cfg.contourStepSize, cfg.maxNodesPerTile)
     var totNodes = 0L
     var totWays = 0L

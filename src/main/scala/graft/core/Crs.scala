@@ -134,8 +134,10 @@ object Crs {
       var i = 0
       var delta = 1.0
       while (i < 8 && math.abs(delta) > 1e-16) {
-        val fTau = tauPrime(tau) - tauP
+        // one sigma evaluation serves both f and f' (this runs per traced
+        // contour node on projected sources — the hot inverse)
         val sigma = math.sinh(Ecc * atanh(Ecc * tau / math.hypot(1.0, tau)))
+        val fTau = tau * math.hypot(1.0, sigma) - sigma * math.hypot(1.0, tau) - tauP
         val dTau = (math.sqrt((1.0 + sigma * sigma) * (1.0 + tau * tau)) - sigma * tau) *
           (1.0 - E2) * math.hypot(1.0, tau) / (1.0 + (1.0 - E2) * tau * tau)
         delta = fTau / dTau
@@ -495,11 +497,35 @@ object Crs {
   }
 
   /** True when lon depends only on x and lat only on y under toWgs84 —
-    * the property that lets a projected grid keep per-axis WGS84 arrays
-    * (RasterPipeline.wgs84Axes) and the row-major polygon-mask
-    * factorization. Holds for 4326/3857 (cylindrical, equator-aligned),
-    * NOT for transverse Mercator (meridian convergence mixes axes). */
+    * the property that lets a projected grid reproject its AXES to WGS84
+    * (RasterPipeline.sliceMask's separable branch) and accept --area
+    * rects. Holds for 4326/3857 (cylindrical, equator-aligned), NOT for
+    * TM/LCC/LAEA (meridian convergence / azimuthal geometry mix axes) —
+    * those sources clip via the densify-reprojected polygon path
+    * (sliceMask's projected branch) instead. */
   def axisSeparable(epsg: Int): Boolean = epsg == 4326 || epsg == 3857
+
+  /** Convert a WGS84 `--area minLon:minLat:maxLon:maxLat` string into
+    * the same rect in `epsg`'s native coordinates, for grid-index
+    * truncation (Chop.truncate slices rows/cols, so the area must stay an
+    * axis-aligned rect in the FILE's CRS — true exactly for
+    * axis-separable sources; non-separable CRSs refuse loudly, steering
+    * to --poly whose mask densify-reprojects instead). Shared by
+    * RasterPipeline.tiles and ContourCli so the two surfaces cannot
+    * drift. */
+  def nativeAreaString(area: String, epsg: Int): String = fromWgs84(epsg) match {
+    case None => area
+    case Some(f) =>
+      require(axisSeparable(epsg),
+        s"--area needs an axis-separable source CRS; EPSG:$epsg is not " +
+          "(use --poly, whose mask reprojects)")
+      val Array(lo0, la0, lo1, la1) = area.split(":").map(_.toDouble)
+      require(lo0 <= lo1,
+        "--area across the antimeridian is unsupported for projected sources")
+      val (x0, y0) = f(lo0, la0)
+      val (x1, y1) = f(lo1, la1)
+      s"$x0:$y0:$x1:$y1"
+  }
 
   /** Python math.isclose default semantics (rel_tol 1e-9). */
   def isClose(a: Double, b: Double, relTol: Double = 1e-9, absTol: Double = 0.0): Boolean =

@@ -127,27 +127,7 @@ object RasterPipeline {
           decodeDem(path, bytes, cfg.voidMax, cfg.smoothRatio, cfg.feetSteps, cfg.corrx, cfg.corry)
         val lonInc = (bbox.maxLon - bbox.minLon) / (grid.cols - 1)
         val latInc = (bbox.maxLat - bbox.minLat) / (grid.rows - 1)
-        // --area is a WGS84 rect; truncation slices grid rows/cols, so it
-        // needs the area to stay an axis-aligned rect in the FILE's CRS —
-        // true exactly for axis-separable sources (4326 identity, 3857
-        // per-axis transform; the reference's ensure_aligned_coordinates
-        // refusal otherwise). Projected sources use --poly, which
-        // reprojects the polygon instead (sliceMask below).
-        val nativeArea: Option[String] = cfg.area.map { a =>
-          Crs.fromWgs84(epsg) match {
-            case None => a
-            case Some(f) =>
-              require(Crs.axisSeparable(epsg),
-                s"--area needs an axis-separable source CRS; EPSG:$epsg is not " +
-                  "(use --poly, whose mask reprojects)")
-              val Array(lo0, la0, lo1, la1) = a.split(":").map(_.toDouble)
-              require(lo0 <= lo1,
-                "--area across the antimeridian is unsupported for projected sources")
-              val (x0, y0) = f(lo0, la0)
-              val (x1, y1) = f(lo1, la1)
-              s"$x0:$y0:$x1:$y1"
-          }
-        }
+        val nativeArea = cfg.area.map(a => Crs.nativeAreaString(a, epsg))
         val start = Chop.truncate(nativeArea, bbox, grid.rows, grid.cols, lonInc, latInc)
         val slices = Chop.chop(grid, start, latInc, cfg.contourStepSize, cfg.maxNodesPerTile)
         slices.zipWithIndex.flatMap { case (s, idx) =>

@@ -38,12 +38,21 @@ object Streaming {
     * single-batch with a few thousand keys, so 32 partitions buy no
     * parallelism and pay 32 commits. q44 measured 6.4 -> 2.4 s when its
     * cap landed (r3); at deploy scale the right cap is sized to state
-    * volume, not defaulted from the scan parallelism. */
-  private def withStatePartitionCap[T](spark: SparkSession, n: Int)(start: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try start finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+    * volume, not defaulted from the scan parallelism.
+    *
+    * The conf is session-global, so the set/restore window is guarded by
+    * a process-wide lock: without it, a query PLANNED concurrently on the
+    * same session would silently inherit the cap, and two overlapping
+    * cappers would restore each other's inner value, leaving the session
+    * capped for good. The lock covers only query START (fast); the
+    * stream itself runs outside it. */
+  private val capLock = new Object
+  private def withStatePartitionCap[T](spark: SparkSession, n: Int)(start: => T): T =
+    capLock.synchronized {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try start finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
 
   /** File-source streams need a directory: stream the parent dir with a
     * glob filter when given a single parquet file. */

@@ -99,6 +99,46 @@ class AnnSpec extends AnyFunSuite {
     allV.unpersist()
   }
 
+  test("angle-banded pairs stay exact on the MULTI-pivot path (m=1 production width)") {
+    import spark.implicits._
+    Ann.register(spark)
+    // The 2.0-deg width above makes m large, so the explode budget clamps
+    // to ONE pivot and the test never runs the band-TUPLE equi-join. At
+    // width = acos(tau) (m = 1, q57's production setting) all 3 pivots
+    // are admitted — a p>=2-specific false-negative bug (e.g. bands
+    // mispaired across pivots) is only catchable here.
+    val twins = vectors.select((col("vec_id") + 100000L).as("vec_id"),
+      expr("transform(vec, x -> x * 0.999 + 0.0005)").as("vec"))
+    val allV = vectors.unionByName(twins).cache()
+    def brute(df: org.apache.spark.sql.DataFrame, tau: Double) = df.toDF("a", "va")
+      .join(df.toDF("b", "vb"), col("a") < col("b"))
+      .filter(expr("aggregate(va, 0D, (s, x) -> s + x * x)") > 0 &&
+        expr("aggregate(vb, 0D, (s, x) -> s + x * x)") > 0)
+      .withColumn("cos", Ann.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= tau)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (tau <- Seq(0.98, 0.6)) {
+      val width = math.toDegrees(math.acos(tau)) // m = 1 -> 3 pivots admitted
+      val banded = Ann.pairsAngleBanded(allV, tau, bandWidthDeg = width)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == brute(allV, tau), s"tau=$tau multi-pivot")
+    }
+    allV.unpersist()
+    // and exact under RANK DEFICIENCY with >1 admitted pivot: the rank-2
+    // fan yields exactly 2 pivots at the m=1 width
+    val spread2 = (0 until 120).map { i =>
+      val ang = math.toRadians(i * 180.0 / 120.0)
+      val v = Array.fill(64)(0.0)
+      v(0) = math.cos(ang); v(1) = math.sin(ang)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "vec")
+    val tau2 = 0.9
+    val w2 = math.toDegrees(math.acos(tau2))
+    val b2 = Ann.pairsAngleBanded(spread2, tau2, bandWidthDeg = w2)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b2 == brute(spread2, tau2), "rank-2 corpus, 2 pivots")
+  }
+
   test("angle banding: strong pruning on spread data, graceful degradation on isotropic") {
     import spark.implicits._
     Ann.register(spark)
@@ -110,7 +150,8 @@ class AnnSpec extends AnyFunSuite {
     // over [0, 180] degrees in a 2-D subspace of the 64-dim space.
     // Rank 2 ⇒ orthoPivots yields at most 2 pivots even when 3 are
     // requested — the operator must stay exact under rank deficiency
-    // (covered by the exactness test above via these same defaults).
+    // (pinned by the multi-pivot exactness test above at the m=1 width;
+    // the 2-deg width HERE clamps the budget to one pivot).
     val spread = (0 until 400).map { i =>
       val ang = math.toRadians(i * 180.0 / 400.0)
       val v = Array.fill(64)(0.0)
