@@ -248,6 +248,58 @@ class StreamingSinkSpec extends AnyFunSuite {
       s"restart duplicated or dropped sessions: ${sessions()}")
   }
 
+  test("RocksDB state store: session sink parity incl. checkpointed restart") {
+    import spark.implicits._
+    // The deploy switch (SPARK_GRAFT_STATESTORE=rocksdb in Bench) was
+    // measured as a null result at gate scale (BENCH.md); this asserts
+    // the knob is CORRECT, not just measured: the same session-sink
+    // topology under RocksDBStateStoreProvider + changelog checkpointing
+    // produces identical finalized sessions, including across a restart
+    // (state reload from the RocksDB changelog, not the HDFS snapshot).
+    val base = java.nio.file.Files.createTempDirectory("rocksess").toString
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    new java.io.File(srcDir).mkdirs()
+    def writeEvents(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val tmp = s"$base/tmp_$name"
+      rows.toDF("event_id", "ts_s", "user_id")
+        .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"), col("user_id"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    try {
+      writeEvents("b1", Seq(
+        (1L, "2024-01-01 10:00:00", 1L), (2L, "2024-01-01 10:10:00", 1L),
+        (3L, "2024-01-01 13:00:00", 2L)))
+      def runOnce(): Unit = {
+        val q = Streaming.sessionsToParquetSink(spark, srcDir, outDir, ckDir,
+          watermark = "30 minutes")
+        try q.processAllAvailable() finally q.stop()
+      }
+      runOnce()
+      def sessions() = spark.read.parquet(outDir)
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(sessions() == Seq((1L, 2L)), s"rocksdb first run: ${sessions()}")
+      writeEvents("b2", Seq((4L, "2024-01-01 16:00:00", 3L)))
+      runOnce() // restart reloads session state from the RocksDB changelog
+      assert(sessions() == Seq((1L, 2L), (2L, 1L)),
+        s"rocksdb restart duplicated or dropped sessions: ${sessions()}")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream join: watermark bounds state, late purchases drop") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("ssjoin").toString
