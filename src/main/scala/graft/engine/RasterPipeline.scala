@@ -104,12 +104,36 @@ object RasterPipeline {
       case Some(f) if Crs.axisSeparable(epsg) =>
         Geometry.polygonMask(xs.map(x => f(x, 0.0)._1), ys.map(y => f(0.0, y)._2), polygons)
       case Some(_) =>
-        val fwd = Crs.fromWgs84(epsg).get
-        val native = polygons.map(p => Crs.densifyReproject(p, fwd))
         // bboxExpand mirrors the reference's 0.1-degree clip margin in
         // this CRS's meters (the exact value only needs to be >= 0)
-        Geometry.polygonMask(xs, ys, native, bboxExpand = 0.1 * 111320.0)
+        Geometry.polygonMask(xs, ys, nativePolys(epsg, polygons), bboxExpand = 0.1 * 111320.0)
     }
+  }
+
+  /** Densified clip polygons in the file CRS, memoized per (epsg,
+    * polygon content) per JVM: sliceMask runs once per slice at plan
+    * time and once per border tile at trace time, and a national-scale
+    * clip ring densifies to 1e4-1e5 vertices each paying a TM/LCC
+    * forward — identical work per tile without the memo. Content-hash
+    * key (not identity): each task deserializes its own closure copy of
+    * the polygons. The cache holds a handful of entries (one per clip
+    * config per CRS actually seen by this executor). */
+  private val nativePolyCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Seq[Array[Double]]]()
+  private def nativePolys(epsg: Int, polygons: Seq[Array[Double]]): Seq[Array[Double]] = {
+    var h = 1125899906842597L
+    polygons.foreach { poly =>
+      var i = 0
+      while (i < poly.length) {
+        h = h * 31 + java.lang.Double.doubleToLongBits(poly(i))
+        i += 1
+      }
+      h = h * 31 + poly.length
+    }
+    nativePolyCache.computeIfAbsent((epsg, h), _ => {
+      val fwd = Crs.fromWgs84(epsg).get
+      polygons.map(poly => Crs.densifyReproject(poly, fwd))
+    })
   }
 
   /** Scan + decode + chop: one lightweight spec row per tile. Clip-polygon

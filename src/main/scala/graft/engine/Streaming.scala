@@ -15,44 +15,40 @@ object Streaming {
     * the parquet events table; returns the materialized complete-mode
     * result. Batch-equivalent: Queries q06 (without HAVING). */
   def hourlyByType(spark: SparkSession, eventsPath: String): DataFrame = {
-    val schema = spark.read.parquet(eventsPath).schema
-    val stream = streamOf(spark, eventsPath, schema)
+    val s = cappedSession(spark, 8)
+    val schema = s.read.parquet(eventsPath).schema
+    val stream = streamOf(s, eventsPath, schema)
     val agg = stream
       .withColumn("hour_epoch", (unix_timestamp(col("ts")) / 3600L).cast("long") * 3600L)
       .groupBy("event_type", "hour_epoch")
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
     val qn = s"stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = withStatePartitionCap(spark, 8) {
-      agg.writeStream.format("memory").queryName(qn).outputMode("complete").start()
-    }
+    val q = agg.writeStream.format("memory").queryName(qn).outputMode("complete").start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(qn).orderBy("event_type", "hour_epoch")
+    s.table(qn).orderBy("event_type", "hour_epoch")
   }
 
 
-  /** Cap shuffle partitions for the duration of a streaming-query START
-    * (the conf binds at start and is restored right after). Stateful
-    * streaming cost has a per-(store instance x batch) commit term, and
-    * store instances = shuffle partitions; the gate inputs are
-    * single-batch with a few thousand keys, so 32 partitions buy no
-    * parallelism and pay 32 commits. q44 measured 6.4 -> 2.4 s when its
-    * cap landed (r3); at deploy scale the right cap is sized to state
-    * volume, not defaulted from the scan parallelism.
+  /** Isolated session with shuffle partitions capped for a stateful
+    * streaming query. Stateful streaming cost has a per-(store instance
+    * x batch) commit term, and store instances = shuffle partitions; the
+    * gate inputs are single-batch with a few thousand keys, so 32
+    * partitions buy no parallelism and pay 32 commits. q44 measured
+    * 6.4 -> 2.4 s when its cap landed (r3); at deploy scale the right
+    * cap is sized to state volume, not defaulted from scan parallelism.
     *
-    * The conf is session-global, so the set/restore window is guarded by
-    * a process-wide lock: without it, a query PLANNED concurrently on the
-    * same session would silently inherit the cap, and two overlapping
-    * cappers would restore each other's inner value, leaving the session
-    * capped for good. The lock covers only query START (fast); the
-    * stream itself runs outside it. */
-  private val capLock = new Object
-  private def withStatePartitionCap[T](spark: SparkSession, n: Int)(start: => T): T =
-    capLock.synchronized {
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-      try start finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    }
+    * `newSession()` shares the SparkContext and cached data but owns its
+    * SQLConf and catalog, so the cap can NEVER leak into a query planned
+    * concurrently on the caller's session (the hazard of the earlier
+    * set/restore form: any query planned inside the window silently
+    * inherited partitions = 8). The whole capped query — source, start,
+    * memory-sink table read — must run on this session. */
+  private def cappedSession(spark: SparkSession, n: Int): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s
+  }
 
   /** File-source streams need a directory: stream the parent dir with a
     * glob filter when given a single parquet file. */
@@ -181,20 +177,19 @@ object Streaming {
     * Only the count is emitted: WHICH duplicate survives dropDuplicates
     * depends on arrival order, but the surviving KEY SET does not. */
   def dedupStream(spark: SparkSession, docsPath: String): DataFrame = {
-    val schema = spark.read.parquet(docsPath).schema
-    val stream = streamOf(spark, docsPath, schema)
+    val s = cappedSession(spark, 8)
+    val schema = s.read.parquet(docsPath).schema
+    val stream = streamOf(s, docsPath, schema)
     val agg = stream
       .select(col("lang"), sha2(col("text"), 256).as("tkey"))
       .dropDuplicates("lang", "tkey")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_unique"))
     val qn = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = withStatePartitionCap(spark, 8) {
-      agg.writeStream.format("memory").queryName(qn).outputMode("complete").start()
-    }
+    val q = agg.writeStream.format("memory").queryName(qn).outputMode("complete").start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(qn).orderBy("lang")
+    s.table(qn).orderBy("lang")
   }
 
   /** Production form of the streaming dedup: event-time watermark +
@@ -267,35 +262,33 @@ object Streaming {
   }
 
   def purchaseAttribution(spark: SparkSession, eventsPath: String): DataFrame = {
-    val schema = spark.read.parquet(eventsPath).schema
-    val joined = attributionJoin(streamOf(spark, eventsPath, schema))
-    val qn = s"stream_attr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // stream-stream join state = 4 store instances PER shuffle partition,
     // each paying a per-batch commit: cap partitions for the join's
-    // stateful stage
-    val q = withStatePartitionCap(spark, 8) {
-      joined.writeStream.format("memory").queryName(qn).outputMode("append").start()
-    }
+    // stateful stage (isolated session — never leaks to the caller's)
+    val s = cappedSession(spark, 8)
+    val schema = s.read.parquet(eventsPath).schema
+    val joined = attributionJoin(streamOf(s, eventsPath, schema))
+    val qn = s"stream_attr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream.format("memory").queryName(qn).outputMode("append").start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(qn).orderBy("p_id", "view_us")
+    s.table(qn).orderBy("p_id", "view_us")
   }
 
   /** Drive sessionize as a real streaming query over the events table. */
   def sessionizeStream(spark: SparkSession, eventsPath: String): DataFrame = {
-    import spark.implicits._
-    val schema = spark.read.parquet(eventsPath).schema
-    val stream = streamOf(spark, eventsPath, schema)
+    val s = cappedSession(spark, 8)
+    import s.implicits._
+    val schema = s.read.parquet(eventsPath).schema
+    val stream = streamOf(s, eventsPath, schema)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Event]
     val out = sessionize(stream)
     val qn = s"stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = withStatePartitionCap(spark, 8) {
-      out.toDF().writeStream.format("memory").queryName(qn)
-        .outputMode("append").start()
-    }
+    val q = out.toDF().writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(qn).orderBy("user_id")
+    s.table(qn).orderBy("user_id")
   }
 }

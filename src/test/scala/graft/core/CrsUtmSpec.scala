@@ -136,8 +136,13 @@ class CrsUtmSpec extends AnyFunSuite {
     val chordMid = ((dense(0) + dense(2)) / 2, (dense(1) + dense(3)) / 2)
     val err = math.hypot(latEdgeMid._1 - chordMid._1, latEdgeMid._2 - chordMid._2)
     assert(err < 1.0, s"sagitta $err m")
-    // the ring closes: last vertex connects back to the first edge start
-    assert(n % 4 == 0 || n >= 396)
+    // the CLOSING edge [p_{n-1}, p_0) is emitted: the last output vertex
+    // must sit one densify step before the first (~0.01 deg ~ 1.1 km),
+    // neither coincident (the next edge owns p_0) nor a full edge away
+    // (which would mean the wrap-around edge was dropped, leaving the
+    // projected ring open and corrupting PIP along it)
+    val closeGap = math.hypot(dense(2 * n - 2) - dense(0), dense(2 * n - 1) - dense(1))
+    assert(closeGap > 100.0 && closeGap < 2500.0, s"closing-edge gap $closeGap m")
   }
 
   test("envelopeBBox equals transformBBox for separable CRSs, bounds UTM tiles") {
