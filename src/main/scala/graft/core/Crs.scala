@@ -11,9 +11,11 @@ package graft.core
   * nanometers inside a zone) covering the UTM zones EPSG:326xx/327xx,
   * ETRS89/NAD83 UTM EPSG:258xx/269xx (GRS80 instances, null datum shift
   * — see grs80UtmFrame), and British National Grid EPSG:27700 (Airy 1830
-  * + the published OSGB Helmert datum shift), and Lambert conformal
-  * conic 2SP (Snyder closed forms) covering Lambert-93 EPSG:2154. These
-  * matter because
+  * + the published OSGB Helmert datum shift), Lambert conformal
+  * conic 2SP (Snyder closed forms) covering Lambert-93 EPSG:2154,
+  * Lambert azimuthal equal-area covering ETRS89-LAEA EPSG:3035, and
+  * polar stereographic covering the ArcticDEM/REMA grids
+  * EPSG:3413/3031. These matter because
   * lidar-derived national DEMs ship in national projected grids.
   * Other codes fail loudly rather than silently mis-projecting.
   * All formulas public; independent implementation.
@@ -436,6 +438,82 @@ object Crs {
   val LaeaEurope: LambertAzimuthalEqualArea =
     new LambertAzimuthalEqualArea(Grs80, 52.0, 10.0, 4321000.0, 3210000.0)
 
+  // ------------------------------- polar stereographic (variant B) ---
+  /** Ellipsoidal polar stereographic with a standard parallel (EPSG
+    * "variant B") — the projection of the polar DEM products: ArcticDEM
+    * ships in EPSG:3413 (70N true, 45W down), REMA in EPSG:3031 (71S
+    * true, 0E up). Snyder 1987 closed forms (eqs. 15-9/21-33..21-41);
+    * the inverse latitude uses the same conformal fixed-point iteration
+    * as LCC (eq. 7-9, converges in ~4 rounds). The south aspect mirrors
+    * ONLY latitude and the y axis (phi -> -phi, y -> -y; longitude is
+    * NOT mirrored — EPSG's south form keeps E = rho sin(lambda - lambda0)
+    * with the same sign as north, N flips to +rho cos), applied around
+    * the core so one formula serves both poles.
+    * Anchors in CrsPolarSpec share no formula with this:
+    * the pole maps to the false origin exactly, scale ON the standard
+    * parallel is exactly 1 (true-scale property, checked against
+    * numerically integrated ground distance), and the Jacobian is a
+    * scaled rotation everywhere (conformality). */
+  final class PolarStereographic(
+      val ell: Ellipsoid,
+      latTsDeg: Double, // standard parallel (signed; negative = south aspect)
+      lon0Deg: Double,
+      falseE: Double, falseN: Double) extends Serializable {
+    private val E = ell.e
+    private val E2 = ell.e2
+    private val South = latTsDeg < 0
+    private val Lon0 = math.toRadians(lon0Deg)
+    private def t(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4.0 - phi / 2.0) /
+        math.pow((1.0 - E * s) / (1.0 + E * s), E / 2.0)
+    }
+    private val PhiTs = math.toRadians(math.abs(latTsDeg))
+    private val MTs = { val s = math.sin(PhiTs); math.cos(PhiTs) / math.sqrt(1.0 - E2 * s * s) }
+    private val TTs = t(PhiTs)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val lam0 = math.toRadians(lon) - Lon0
+      val phi0 = if (South) -math.toRadians(lat) else math.toRadians(lat)
+      val rho = ell.a * MTs * t(phi0) / TTs
+      val x = rho * math.sin(lam0)
+      val y = -rho * math.cos(lam0)
+      (falseE + x, falseN + (if (South) -y else y))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - falseE
+      val dyRaw = y - falseN
+      val dy = if (South) -dyRaw else dyRaw
+      val rho = math.hypot(dx, dy)
+      if (rho < 1e-12) return (lon0Deg, if (South) -90.0 else 90.0) // pole: lon arbitrary
+      val tP = rho * TTs / (ell.a * MTs)
+      val lam = math.atan2(dx, -dy)
+      var phi = math.Pi / 2.0 - 2.0 * math.atan(tP)
+      var i = 0
+      var prev = Double.NaN
+      while (i < 10 && phi != prev) {
+        prev = phi
+        val s = math.sin(phi)
+        phi = math.Pi / 2.0 - 2.0 * math.atan(
+          tP * math.pow((1.0 - E * s) / (1.0 + E * s), E / 2.0))
+        i += 1
+      }
+      val lonOut = math.toDegrees(Lon0 + lam)
+      if (South) (lonOut, -math.toDegrees(phi)) else (lonOut, math.toDegrees(phi))
+    }
+  }
+
+  /** EPSG:3413 — WGS84 / NSIDC Sea Ice Polar Stereographic North
+    * (ArcticDEM's grid): 70N true scale, 45W oriented down, FE=FN=0. */
+  val PolarNorth3413: PolarStereographic =
+    new PolarStereographic(Wgs84, 70.0, -45.0, 0.0, 0.0)
+
+  /** EPSG:3031 — WGS84 / Antarctic Polar Stereographic (REMA's grid):
+    * 71S true scale, 0E, FE=FN=0. */
+  val PolarSouth3031: PolarStereographic =
+    new PolarStereographic(Wgs84, -71.0, 0.0, 0.0, 0.0)
+
   /** (x, y) in EPSG:3857 meters -> (lon, lat) degrees. */
   def mercatorToWgs84(x: Double, y: Double): (Double, Double) = {
     val lon = math.toDegrees(x / EarthRadius)
@@ -464,6 +542,8 @@ object Crs {
     case z if z >= 26901 && z <= 26923 => // NAD83 / UTM 1N..23N
       Some((x, y) => grs80UtmFrame(z - 26900).inverse(x, y))
     case 3035 => Some(LaeaEurope.inverse)
+    case 3413 => Some(PolarNorth3413.inverse)
+    case 3031 => Some(PolarSouth3031.inverse)
     // RGF93 (Lambert-93's datum) is coincident with WGS84 at cm level —
     // the same null-datum treatment pyproj applies at this accuracy
     case 2154 => Some(lambert93ToWgs84)
@@ -471,7 +551,8 @@ object Crs {
     case other =>
       throw new IllegalArgumentException(
         s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM, " +
-        "258xx ETRS89-UTM, 269xx NAD83-UTM, 3035 LAEA-Europe, 2154 Lambert-93, 27700 OSGB)")
+        "258xx ETRS89-UTM, 269xx NAD83-UTM, 3035 LAEA-Europe, 3413/3031 polar stereographic, " +
+        "2154 Lambert-93, 27700 OSGB)")
   }
 
   /** Reverse transform (WGS84 -> source CRS), the reference's
@@ -488,12 +569,15 @@ object Crs {
     case z if z >= 26901 && z <= 26923 =>
       Some((lon, lat) => grs80UtmFrame(z - 26900).forward(lon, lat))
     case 3035 => Some(LaeaEurope.forward)
+    case 3413 => Some(PolarNorth3413.forward)
+    case 3031 => Some(PolarSouth3031.forward)
     case 2154 => Some(wgs84ToLambert93)
     case 27700 => Some(wgs84ToOsgb)
     case other =>
       throw new IllegalArgumentException(
         s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM, " +
-        "258xx ETRS89-UTM, 269xx NAD83-UTM, 3035 LAEA-Europe, 2154 Lambert-93, 27700 OSGB)")
+        "258xx ETRS89-UTM, 269xx NAD83-UTM, 3035 LAEA-Europe, 3413/3031 polar stereographic, " +
+        "2154 Lambert-93, 27700 OSGB)")
   }
 
   /** True when lon depends only on x and lat only on y under toWgs84 —

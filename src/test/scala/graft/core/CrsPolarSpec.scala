@@ -1,0 +1,118 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** EPSG:3413 / 3031 (polar stereographic, the ArcticDEM / REMA grids),
+  * anchored WITHOUT an external projection library. The anchors are
+  * differential-geometry properties the implementation does not encode
+  * directly: the MERIDIAN scale at the standard parallel must be exactly
+  * 1 (parallel scale is 1 by construction of rho; meridian scale is 1
+  * only if the conformal-latitude function t is right — a spherical
+  * tan(pi/4 - phi/2) substitute would pass the parallel and fail this),
+  * and the Jacobian must be a scaled rotation everywhere (conformality).
+  * Plus the pole -> false-origin constant, EPSG axis orientations,
+  * round-trip closure, and dispatch. */
+class CrsPolarSpec extends AnyFunSuite {
+
+  private val A = 6378137.0
+  private val F = 1.0 / 298.257223563
+  private val E2 = F * (2.0 - F)
+
+  /** Meridian radius of curvature M(phi). */
+  private def mRad(phiDeg: Double): Double = {
+    val s = math.sin(math.toRadians(phiDeg))
+    A * (1.0 - E2) / math.pow(1.0 - E2 * s * s, 1.5)
+  }
+  /** Parallel radius r(phi) = nu cos(phi). */
+  private def pRad(phiDeg: Double): Double = {
+    val phi = math.toRadians(phiDeg)
+    val s = math.sin(phi)
+    A * math.cos(phi) / math.sqrt(1.0 - E2 * s * s)
+  }
+
+  test("pole maps to the false origin; EPSG axis orientations hold") {
+    val (xn, yn) = Crs.PolarNorth3413.forward(123.0, 90.0)
+    assert(math.abs(xn) < 1e-6 && math.abs(yn) < 1e-6)
+    val (xs, ys) = Crs.PolarSouth3031.forward(-57.0, -90.0)
+    assert(math.abs(xs) < 1e-6 && math.abs(ys) < 1e-6)
+    // 3413: lon0 = 45W points down the -y axis; 90W-45W=45W of grid north
+    val (x1, y1) = Crs.PolarNorth3413.forward(-45.0, 80.0)
+    assert(math.abs(x1) < 1e-6 && y1 < 0, s"45W must project to -y: ($x1, $y1)")
+    // 3031: lon0 = 0E points UP the +y axis (south aspect flips N)
+    val (x2, y2) = Crs.PolarSouth3031.forward(0.0, -80.0)
+    assert(math.abs(x2) < 1e-6 && y2 > 0, s"0E must project to +y: ($x2, $y2)")
+    // and east longitudes have positive easting in BOTH aspects
+    val (x3, _) = Crs.PolarNorth3413.forward(-45.0 + 90.0, 80.0)
+    val (x4, _) = Crs.PolarSouth3031.forward(90.0, -80.0)
+    assert(x3 > 0 && x4 > 0, "E = rho sin(lam - lam0) keeps its sign in the south aspect")
+  }
+
+  test("meridian scale at the standard parallel is exactly 1 (true-scale anchor)") {
+    // h sized against FLOATING-POINT cancellation, not truncation: the
+    // chord is ~22 m out of ~2e6 m coordinates, so the difference keeps
+    // ~8 clean digits while the O(h^2) truncation term sits at ~5e-13
+    val h = 1e-4 // degrees
+    for ((ps, latTs, lon) <- Seq(
+        (Crs.PolarNorth3413, 70.0, 31.0), (Crs.PolarSouth3031, -71.0, 157.0))) {
+      val (x1, y1) = ps.forward(lon, latTs - h)
+      val (x2, y2) = ps.forward(lon, latTs + h)
+      val projected = math.hypot(x2 - x1, y2 - y1)
+      val ground = mRad(latTs) * math.toRadians(2 * h)
+      assert(math.abs(projected / ground - 1.0) < 1e-8,
+        s"meridian scale at $latTs: ${projected / ground}")
+    }
+  }
+
+  test("conformality: the Jacobian is a scaled rotation everywhere sampled") {
+    val h = 1e-6
+    for ((ps, pts) <- Seq(
+        (Crs.PolarNorth3413, Seq((0.0, 85.0), (-45.0, 70.0), (120.0, 62.0), (-170.0, 75.0))),
+        (Crs.PolarSouth3031, Seq((0.0, -85.0), (90.0, -71.0), (-135.0, -66.0))))) {
+      for ((lon, lat) <- pts) {
+        def p(lo: Double, la: Double) = ps.forward(lo, la)
+        val (xE, yE) = p(lon + h, lat); val (xW, yW) = p(lon - h, lat)
+        val (xN, yN) = p(lon, lat + h); val (xS, yS) = p(lon, lat - h)
+        // columns of the Jacobian in locally ISOMETRIC ground coordinates
+        val r = pRad(lat); val m = mRad(lat)
+        val ux = (xE - xW) / (2 * h * math.toRadians(1) * r)
+        val uy = (yE - yW) / (2 * h * math.toRadians(1) * r)
+        val vx = (xN - xS) / (2 * h * math.toRadians(1) * m)
+        val vy = (yN - yS) / (2 * h * math.toRadians(1) * m)
+        val nu = math.hypot(ux, uy); val nv = math.hypot(vx, vy)
+        assert(math.abs(nu / nv - 1.0) < 1e-6, s"anisotropy at ($lon,$lat): $nu vs $nv")
+        val cosAngle = (ux * vx + uy * vy) / (nu * nv)
+        assert(math.abs(cosAngle) < 1e-6, s"shear at ($lon,$lat): $cosAngle")
+      }
+    }
+  }
+
+  test("round-trip closes to sub-nanometer angular error across both domains") {
+    for {
+      lat <- Seq(60.0, 70.0, 80.0, 89.0)
+      lon <- Seq(-170.0, -45.0, 0.0, 60.0, 179.0)
+    } {
+      val (x, y) = Crs.PolarNorth3413.forward(lon, lat)
+      val (lo2, la2) = Crs.PolarNorth3413.inverse(x, y)
+      // longitudes compare modulo 360 near the +-180 seam
+      val dLon = math.abs(((lo2 - lon) % 360.0 + 540.0) % 360.0 - 180.0)
+      assert(dLon < 1e-10 && math.abs(la2 - lat) < 1e-10, s"3413 ($lon,$lat)")
+      val (xs, ys) = Crs.PolarSouth3031.forward(lon, -lat)
+      val (lo3, la3) = Crs.PolarSouth3031.inverse(xs, ys)
+      val dLon3 = math.abs(((lo3 - lon) % 360.0 + 540.0) % 360.0 - 180.0)
+      assert(dLon3 < 1e-10 && math.abs(la3 + lat) < 1e-10, s"3031 ($lon,${-lat})")
+    }
+    // the exact poles invert cleanly (rho ~ 0 guard)
+    assert(Crs.PolarNorth3413.inverse(0.0, 0.0)._2 == 90.0)
+    assert(Crs.PolarSouth3031.inverse(0.0, 0.0)._2 == -90.0)
+  }
+
+  test("EPSG:3413/3031 dispatch; not axis-separable") {
+    val (x, y) = Crs.fromWgs84(3413).get(-50.0, 72.0)
+    val (lo2, la2) = Crs.toWgs84(3413).get(x, y)
+    assert(math.abs(lo2 + 50.0) < 1e-10 && math.abs(la2 - 72.0) < 1e-10)
+    val (xs, ys) = Crs.fromWgs84(3031).get(45.0, -77.0)
+    val (lo3, la3) = Crs.toWgs84(3031).get(xs, ys)
+    assert(math.abs(lo3 - 45.0) < 1e-10 && math.abs(la3 + 77.0) < 1e-10)
+    assert(!Crs.axisSeparable(3413) && !Crs.axisSeparable(3031))
+  }
+}

@@ -107,15 +107,35 @@ class GeoTiffSpec extends AnyFunSuite {
   private def projectedToulonTiff(
       name: String, epsg: Int,
       fwd: (Double, Double) => (Double, Double),
-      inv: (Double, Double) => (Double, Double)): String = {
+      inv: (Double, Double) => (Double, Double)): (String, Float) = {
     val (lo0, la0, lo1, la1) = (6.2, 43.2, 6.8, 43.8)
     val corners = Seq((lo0, la0), (lo0, la1), (lo1, la1), (lo1, la0)).map(fwd.tupled)
-    // interior projected rect (inside all four corners) keeps every
-    // cell's back-projection inside the sampled lon/lat window
-    val minX = corners.map(_._1).min + 500.0
-    val maxX = corners.map(_._1).max - 500.0
-    val minY = corners.map(_._2).min + 500.0
-    val maxY = corners.map(_._2).max - 500.0
+    // projected rect whose every cell back-projects INSIDE the sampled
+    // lon/lat window: start from the corner bbox and shrink about its
+    // center until all boundary samples land inside. Mildly-rotated
+    // grids (UTM convergence ~2 deg) shrink a little; a polar grid at
+    // this longitude is rotated ~50 deg vs lon/lat and shrinks a lot —
+    // without this, out-of-window cells clamp to edge terrain and trace
+    // contours outside the assertion window
+    val cx0 = corners.map(_._1).min; val cx1 = corners.map(_._1).max
+    val cy0 = corners.map(_._2).min; val cy1 = corners.map(_._2).max
+    val ctrX = (cx0 + cx1) / 2; val ctrY = (cy0 + cy1) / 2
+    def rectAt(s: Double) = (ctrX - (ctrX - cx0) * s, ctrY - (ctrY - cy0) * s,
+      ctrX + (cx1 - ctrX) * s, ctrY + (cy1 - ctrY) * s)
+    def boundaryInside(s: Double): Boolean = {
+      val (x0, y0, x1, y1) = rectAt(s)
+      (0 to 40).forall { i =>
+        val t = i / 40.0
+        Seq((x0 + (x1 - x0) * t, y0), (x0 + (x1 - x0) * t, y1),
+          (x0, y0 + (y1 - y0) * t), (x1, y0 + (y1 - y0) * t)).forall { case (x, y) =>
+          val (lo, la) = inv(x, y)
+          lo >= lo0 + 1e-3 && lo <= lo1 - 1e-3 && la >= la0 + 1e-3 && la <= la1 - 1e-3
+        }
+      }
+    }
+    var shrink = 1.0
+    while (!boundaryInside(shrink) && shrink > 0.05) shrink *= 0.9
+    val (minX, minY, maxX, maxY) = rectAt(shrink)
     val rows = 301; val cols = 301
     val dx = (maxX - minX) / (cols - 1)
     val dy = (maxY - minY) / (rows - 1)
@@ -130,14 +150,14 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(t.epsg == epsg)
     val tmp = java.nio.file.Files.createTempFile(name, ".tiff")
     java.nio.file.Files.write(tmp, bytes)
-    tmp.toString
+    (tmp.toString, vals.max)
   }
 
   private def projectedToulonE2e(
       name: String, epsg: Int,
       fwd: (Double, Double) => (Double, Double),
       inv: (Double, Double) => (Double, Double)): Unit = {
-    val tmp = projectedToulonTiff(name, epsg, fwd, inv)
+    val (tmp, maxElev) = projectedToulonTiff(name, epsg, fwd, inv)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").appName(s"tiff-$name")
       .config("spark.sql.shuffle.partitions", "4")
@@ -158,8 +178,13 @@ class GeoTiffSpec extends AnyFunSuite {
         i += 2
       }
     }
-    // the Toulon landscape's coarse levels all appear, like the 3857 twin
-    assert(rs.map(_.elevation).distinct.sorted.toSeq == Seq(0, 500, 1000, 1500))
+    // every coarse level the fixture's own terrain reaches appears (the
+    // heavily-rotated grids shrink their window and may cut the 1500 m
+    // peak near the window edge — the expectation follows the fixture)
+    val expected = (0 to (maxElev / 500).toInt).map(_ * 500)
+    assert(expected.length >= 3, s"window shrank below useful terrain: max $maxElev")
+    assert(rs.map(_.elevation).distinct.sorted.toSeq == expected,
+      s"levels vs fixture max $maxElev")
   }
 
   test("UTM 32N tiff (real Toulon terrain re-gridded) traces contours in WGS84") {
@@ -197,6 +222,17 @@ class GeoTiffSpec extends AnyFunSuite {
       (x, y) => Crs.toWgs84(3035).get(x, y))
   }
 
+  test("polar stereographic 3413 tiff traces contours in WGS84 (ArcticDEM grid e2e)") {
+    assume(available)
+    // Toulon at 43N is far from the 70N true-scale parallel but well
+    // inside the projection's bijective domain — the same fixture recipe
+    // exercises the steep-distortion regime the polar grids hit at their
+    // coverage edge
+    projectedToulonE2e("polar_toulon", 3413,
+      (lo, la) => Crs.fromWgs84(3413).get(lo, la),
+      (x, y) => Crs.toWgs84(3413).get(x, y))
+  }
+
   test("--area truncates a 3857 source through the per-axis transform") {
     assume(Files.exists(Paths.get(mercPath)))
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -216,7 +252,7 @@ class GeoTiffSpec extends AnyFunSuite {
     }
     // UTM sources must refuse --area loudly (non-separable), steering to --poly
     val cfgUtm = cfg.copy(area = Some("6.3:43.3:6.7:43.7"))
-    val utmPath = projectedToulonTiff("utm_area_refuse", 32632,
+    val (utmPath, _) = projectedToulonTiff("utm_area_refuse", 32632,
       (lo, la) => Crs.wgs84ToUtm(lo, la, 32, north = true),
       (x, y) => Crs.utmToWgs84(x, y, 32, north = true))
     val ex = intercept[org.apache.spark.SparkException] {
@@ -238,7 +274,7 @@ class GeoTiffSpec extends AnyFunSuite {
       (lo, la) => Crs.wgs84ToUtm(lo, la, 32, north = true)
     val inv: (Double, Double) => (Double, Double) =
       (x, y) => Crs.utmToWgs84(x, y, 32, north = true)
-    val utmPath = projectedToulonTiff("utm_clip", 32632, fwd, inv)
+    val (utmPath, _) = projectedToulonTiff("utm_clip", 32632, fwd, inv)
     // 4326 twin over the same window at the same 301x301 resolution
     val rows = 301; val cols = 301
     val (lo0, la0, lo1, la1) = (6.2, 43.2, 6.8, 43.8)
