@@ -27,6 +27,18 @@ object Crs {
   private def atanh(x: Double): Double = 0.5 * math.log((1.0 + x) / (1.0 - x))
   private def asinh(x: Double): Double = math.log(x + math.hypot(1.0, x))
 
+  /** Normalize a longitude into (-180, 180]. Azimuthal inverses
+    * (polar stereographic, LAEA) produce lon0 + atan2-angle, which walks
+    * outside the principal range for points more than 180 - |lon0|
+    * degrees from the central meridian — e.g. a 3413 grid cell at 150E
+    * would otherwise come back as -210. */
+  def normalizeLon(lon: Double): Double = {
+    var l = lon % 360.0
+    if (l <= -180.0) l += 360.0
+    else if (l > 180.0) l -= 360.0
+    l
+  }
+
   /** Reference ellipsoids (public geodesy constants). */
   final case class Ellipsoid(a: Double, invF: Double) {
     val f: Double = 1.0 / invF
@@ -428,7 +440,7 @@ object Crs {
           i += 1
         }
       }
-      (math.toDegrees(Lon0 + lam), math.toDegrees(phi))
+      (normalizeLon(math.toDegrees(Lon0 + lam)), math.toDegrees(phi))
     }
   }
 
@@ -499,7 +511,7 @@ object Crs {
           tP * math.pow((1.0 - E * s) / (1.0 + E * s), E / 2.0))
         i += 1
       }
-      val lonOut = math.toDegrees(Lon0 + lam)
+      val lonOut = normalizeLon(math.toDegrees(Lon0 + lam))
       if (South) (lonOut, -math.toDegrees(phi)) else (lonOut, math.toDegrees(phi))
     }
   }

@@ -87,19 +87,21 @@ class CrsPolarSpec extends AnyFunSuite {
   }
 
   test("round-trip closes to sub-nanometer angular error across both domains") {
+    // NO modulo on the comparison: inverses must return PRINCIPAL-range
+    // longitudes (a 3413 cell at 150E must come back 150, not -210 —
+    // lon points here sit both sides of the lon0-induced seam)
     for {
       lat <- Seq(60.0, 70.0, 80.0, 89.0)
-      lon <- Seq(-170.0, -45.0, 0.0, 60.0, 179.0)
+      lon <- Seq(-170.0, -45.0, 0.0, 60.0, 150.0, 179.0)
     } {
       val (x, y) = Crs.PolarNorth3413.forward(lon, lat)
       val (lo2, la2) = Crs.PolarNorth3413.inverse(x, y)
-      // longitudes compare modulo 360 near the +-180 seam
-      val dLon = math.abs(((lo2 - lon) % 360.0 + 540.0) % 360.0 - 180.0)
-      assert(dLon < 1e-10 && math.abs(la2 - lat) < 1e-10, s"3413 ($lon,$lat)")
+      assert(math.abs(lo2 - lon) < 1e-10 && math.abs(la2 - lat) < 1e-10,
+        s"3413 ($lon,$lat) -> ($lo2,$la2)")
       val (xs, ys) = Crs.PolarSouth3031.forward(lon, -lat)
       val (lo3, la3) = Crs.PolarSouth3031.inverse(xs, ys)
-      val dLon3 = math.abs(((lo3 - lon) % 360.0 + 540.0) % 360.0 - 180.0)
-      assert(dLon3 < 1e-10 && math.abs(la3 + lat) < 1e-10, s"3031 ($lon,${-lat})")
+      assert(math.abs(lo3 - lon) < 1e-10 && math.abs(la3 + lat) < 1e-10,
+        s"3031 ($lon,${-lat}) -> ($lo3,$la3)")
     }
     // the exact poles invert cleanly (rho ~ 0 guard)
     assert(Crs.PolarNorth3413.inverse(0.0, 0.0)._2 == 90.0)
