@@ -196,6 +196,13 @@ object Crs {
       new TransverseMercator(Grs80, 0.9996, utmCentralMeridian(z), 0.0, 500000.0, 0.0))
   }
 
+  /** EPSG:2193 — NZGD2000 / New Zealand Transverse Mercator (LINZ
+    * national DEM grid): GRS80, k0 = 0.9996, origin 0N 173E,
+    * FE 1600000, FN 10000000; NZGD2000 ~ WGS84 with the same null
+    * datum treatment as the 258xx zones. */
+  val Nztm2000: TransverseMercator =
+    new TransverseMercator(Grs80, 0.9996, 173.0, 0.0, 1600000.0, 10000000.0)
+
   /** British National Grid EPSG:27700 projection frame (OSGB36 datum):
     * Airy 1830, k0 = 0.9996012717, origin 49N 2W, FE 400000, FN -100000
     * (EPSG registry constants). `forward`/`inverse` speak OSGB36
@@ -554,6 +561,7 @@ object Crs {
     case z if z >= 26901 && z <= 26923 => // NAD83 / UTM 1N..23N
       Some((x, y) => grs80UtmFrame(z - 26900).inverse(x, y))
     case 3035 => Some(LaeaEurope.inverse)
+    case 2193 => Some(Nztm2000.inverse)
     case 3413 => Some(PolarNorth3413.inverse)
     case 3031 => Some(PolarSouth3031.inverse)
     // RGF93 (Lambert-93's datum) is coincident with WGS84 at cm level —
@@ -564,7 +572,7 @@ object Crs {
       throw new IllegalArgumentException(
         s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM, " +
         "258xx ETRS89-UTM, 269xx NAD83-UTM, 3035 LAEA-Europe, 3413/3031 polar stereographic, " +
-        "2154 Lambert-93, 27700 OSGB)")
+        "2193 NZTM, 2154 Lambert-93, 27700 OSGB)")
   }
 
   /** Reverse transform (WGS84 -> source CRS), the reference's
@@ -581,6 +589,7 @@ object Crs {
     case z if z >= 26901 && z <= 26923 =>
       Some((lon, lat) => grs80UtmFrame(z - 26900).forward(lon, lat))
     case 3035 => Some(LaeaEurope.forward)
+    case 2193 => Some(Nztm2000.forward)
     case 3413 => Some(PolarNorth3413.forward)
     case 3031 => Some(PolarSouth3031.forward)
     case 2154 => Some(wgs84ToLambert93)
@@ -589,7 +598,7 @@ object Crs {
       throw new IllegalArgumentException(
         s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM, " +
         "258xx ETRS89-UTM, 269xx NAD83-UTM, 3035 LAEA-Europe, 3413/3031 polar stereographic, " +
-        "2154 Lambert-93, 27700 OSGB)")
+        "2193 NZTM, 2154 Lambert-93, 27700 OSGB)")
   }
 
   /** True when lon depends only on x and lat only on y under toWgs84 —

@@ -122,6 +122,34 @@ class CrsUtmSpec extends AnyFunSuite {
     assert(!Crs.axisSeparable(25832) && !Crs.axisSeparable(26910))
   }
 
+  test("NZTM 2193: GRS80 arc anchor with the 10M false northing, round-trip, dispatch") {
+    // the frame exercises the TM family's lat0=0 + large-FN + southern
+    // configuration: northing = FN + k0 * (negative) meridian arc
+    val f80 = 1.0 / 298.257222101
+    val e280 = f80 * (2.0 - f80)
+    def arc80(phiDeg: Double): Double = {
+      val phi = math.toRadians(phiDeg)
+      def f(t: Double): Double = {
+        val s = math.sin(t)
+        A * (1.0 - e280) / math.pow(1.0 - e280 * s * s, 1.5)
+      }
+      val steps = 20000; val h = phi / steps
+      var sum = f(0.0) + f(phi)
+      var i = 1
+      while (i < steps) { sum += (if (i % 2 == 1) 4.0 else 2.0) * f(i * h); i += 1 }
+      sum * h / 3.0
+    }
+    for (lat <- Seq(-34.5, -41.3, -46.6)) { // NZ span
+      val (e, n) = Crs.fromWgs84(2193).get(173.0, lat)
+      assert(math.abs(e - 1600000.0) < 1e-6)
+      assert(math.abs(n - (10000000.0 + 0.9996 * arc80(lat))) < 1e-3, s"lat=$lat: $n")
+    }
+    val (x, y) = Crs.fromWgs84(2193).get(174.76, -36.85) // Auckland
+    val (lo2, la2) = Crs.toWgs84(2193).get(x, y)
+    assert(math.abs(lo2 - 174.76) < 1e-10 && math.abs(la2 + 36.85) < 1e-10)
+    assert(!Crs.axisSeparable(2193))
+  }
+
   test("densifyReproject bounds the chord error under a meter") {
     val toUtm: (Double, Double) => (Double, Double) =
       (lo, la) => Crs.wgs84ToUtm(lo, la, 32, north = true)
