@@ -51,7 +51,7 @@ object Tiff {
       val c = bytes(off + 2) & 0xffL; val d = bytes(off + 3) & 0xffL
       if (le) a | (b << 8) | (c << 16) | (d << 24) else (a << 24) | (b << 16) | (c << 8) | d
     }
-    def f64(off: Int): Double = {
+    def u64(off: Int): Long = {
       var v = 0L
       var i = 0
       while (i < 8) {
@@ -59,46 +59,59 @@ object Tiff {
         v = (v << 8) | b
         i += 1
       }
-      java.lang.Double.longBitsToDouble(v)
+      v
     }
-    require(u16(2) == 42, "not a TIFF: bad magic")
+    def f64(off: Int): Double = java.lang.Double.longBitsToDouble(u64(off))
+    // classic TIFF (magic 42: 4-byte offsets/counts, 12-byte IFD entries)
+    // or BigTIFF (magic 43: 8-byte offsets/counts, 20-byte entries, LONG8
+    // types — how ArcticDEM/REMA mosaic tiles over 4 GiB actually ship)
+    val magic = u16(2)
+    require(magic == 42 || magic == 43, s"not a TIFF: bad magic $magic")
+    val big = magic == 43
+    if (big) require(u16(4) == 8 && u16(6) == 0,
+      s"BigTIFF: unsupported offset size ${u16(4)}")
+    val inlineCap = if (big) 8 else 4 // value bytes stored inside the entry
+    def uOff(off: Int): Long = if (big) u64(off) else u32(off)
 
     final case class Entry(typ: Int, count: Long, valOff: Int)
-    val ifdOff = u32(4).toInt
-    val nEntries = u16(ifdOff)
+    val ifdOff = (if (big) u64(8) else u32(4)).toInt
+    val nEntries = (if (big) u64(ifdOff) else u16(ifdOff).toLong).toInt
     val tags = scala.collection.mutable.Map.empty[Int, Entry]
     var i = 0
     while (i < nEntries) {
-      val e = ifdOff + 2 + 12 * i
-      tags(u16(e)) = Entry(u16(e + 2), u32(e + 4), e + 8)
+      val e = ifdOff + (if (big) 8 + 20 * i else 2 + 12 * i)
+      val cnt = if (big) u64(e + 4) else u32(e + 4)
+      tags(u16(e)) = Entry(u16(e + 2), cnt, e + (if (big) 12 else 8))
       i += 1
     }
     def typeSize(t: Int): Int = t match {
-      case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case 4 | 9 | 11 => 4; case 5 | 10 | 12 => 8
+      case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case 4 | 9 | 11 => 4
+      case 5 | 10 | 12 | 16 | 17 | 18 => 8 // RATIONAL/DOUBLE/LONG8/SLONG8/IFD8
       case other => throw new IllegalArgumentException(s"TIFF type $other")
     }
-    /** Values of a tag as Longs (SHORT/LONG) following the inline-vs-offset rule. */
+    /** Values of a tag as Longs (SHORT/LONG/LONG8) following the
+      * inline-vs-offset rule of the container variant. */
     def longs(tag: Int): Array[Long] = tags.get(tag) match {
       case None => Array.empty
       case Some(Entry(t, c, vo)) =>
         val sz = typeSize(t)
-        val base = if (sz * c <= 4) vo else u32(vo).toInt
+        val base = if (sz * c <= inlineCap) vo else uOff(vo).toInt
         Array.tabulate(c.toInt) { k =>
           val off = base + k * sz
-          if (sz == 2) u16(off).toLong else u32(off)
+          if (sz == 2) u16(off).toLong else if (sz == 8) u64(off) else u32(off)
         }
     }
     def doubles(tag: Int): Array[Double] = tags.get(tag) match {
       case None => Array.empty
       case Some(Entry(t, c, vo)) =>
         require(t == 12, s"tag $tag: expected DOUBLE, got type $t")
-        val base = u32(vo).toInt
+        val base = if (8 * c <= inlineCap) vo else uOff(vo).toInt
         Array.tabulate(c.toInt)(k => f64(base + k * 8))
     }
     def ascii(tag: Int): String = tags.get(tag) match {
       case None => ""
       case Some(Entry(_, c, vo)) =>
-        val base = if (c <= 4) vo else u32(vo).toInt
+        val base = if (c <= inlineCap) vo else uOff(vo).toInt
         new String(bytes, base, c.toInt, "US-ASCII").takeWhile(_ != 0)
     }
     def scalar(tag: Int, default: Long = -1L): Long = {

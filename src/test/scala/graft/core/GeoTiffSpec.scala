@@ -393,7 +393,8 @@ class GeoTiffSpec extends AnyFunSuite {
       bits: Int = 16, nodataTag: String = "-32768 ",
       epsg: Int = 4326,
       pixScale: (Double, Double) = (-1.0, -1.0),
-      tiePoint: (Double, Double) = (6.0, 44.0)): Array[Byte] = {
+      tiePoint: (Double, Double) = (6.0, 44.0),
+      big: Boolean = false): Array[Byte] = {
     def encSeg(segRows: Int, segW: Int, get: (Int, Int) => Float): Array[Byte] = {
       if (bits == 16) {
         val s = Array.tabulate(segRows * segW)(k => get(k / segW, k % segW).toInt.toShort)
@@ -459,43 +460,73 @@ class GeoTiffSpec extends AnyFunSuite {
       Tag(33922, 12, 6, heap = dbl2bytes(Seq(0, 0, 0, tiePoint._1, tiePoint._2, 0))),
       Tag(34735, 3, 8, heap = shorts2bytes(geoKeys)),
       Tag(42113, 2, nodataTag.length, heap = nodataTag.getBytes("US-ASCII")))
+    def longs8bytes(v: Seq[Long]): Array[Byte] =
+      v.flatMap(x => (0 until 8).map(i => ((x >> (8 * i)) & 0xff).toByte)).toArray
     val counts = segs.map(_.length.toLong)
+    // BigTIFF vs classic layout parameters: header 16 vs 8, entry 20 vs
+    // 12, entry-count field 8 vs 2, next-IFD pointer 8 vs 4, inline value
+    // capacity 8 vs 4; the offset/count arrays go out as LONG8 (type 16)
+    // in BigTIFF — the GDAL-written shape — and LONG in classic
+    val inlineCap = if (big) 8 else 4
+    val entrySize = if (big) 20 else 12
+    val headerSize = if (big) 16 else 8
+    val ifdFixed = (if (big) 8 else 2) + (if (big) 8 else 4) // count + next ptr
+    val wordType = if (big) 16 else 4
+    def words2bytes(v: Seq[Long]): Array[Byte] =
+      if (big) longs8bytes(v) else longs2bytes(v)
+    def typeSize(t: Int): Int = t match {
+      case 2 => 1; case 3 => 2; case 4 => 4; case 12 | 16 => 8
+    }
     // segment offsets depend on the heap layout: lay out tag heaps first,
-    // then the offset/count arrays, then segment payloads
+    // then the offset/count arrays, then segment payloads. A heap whose
+    // bytes fit the inline capacity is stored inline instead (BigTIFF
+    // inlines the 7-char nodata string classic TIFF spills to heap).
+    def heapLen(t: Tag): Int =
+      if (t.heap != null && t.heap.length > inlineCap) t.heap.length else 0
+    val arrayBytes = typeSize(wordType) * segs.size
+    val arraysHeapLen = 2 * (if (arrayBytes > inlineCap) arrayBytes else 0)
     val n = tags.size + (if (tiled) 4 else 3)
-    val heapStart = 8 + 2 + 12 * n + 4
-    var cursor = heapStart + tags.flatMap(t => Option(t.heap)).map(_.length).sum +
-      2 * 4 * segs.size // the two LONG arrays (offsets + counts)
+    val heapStart = headerSize + ifdFixed + entrySize * n
+    var cursor = heapStart + tags.map(heapLen).sum + arraysHeapLen
     val offs = segs.map { s => val o = cursor; cursor += s.length; o.toLong }
     tags = tags ++ (if (tiled) Seq(
       Tag(322, 4, 1, tw), Tag(323, 4, 1, th),
-      Tag(324, 4, segs.size, heap = longs2bytes(offs)),
-      Tag(325, 4, segs.size, heap = longs2bytes(counts)))
+      Tag(324, wordType, segs.size, heap = words2bytes(offs)),
+      Tag(325, wordType, segs.size, heap = words2bytes(counts)))
     else Seq(
-      Tag(273, 4, segs.size, heap = longs2bytes(offs)),
+      Tag(273, wordType, segs.size, heap = words2bytes(offs)),
       Tag(278, 4, 1, rps),
-      Tag(279, 4, segs.size, heap = longs2bytes(counts))))
+      Tag(279, wordType, segs.size, heap = words2bytes(counts))))
     val out = new java.io.ByteArrayOutputStream()
-    out.write(Array[Byte]('I', 'I', 42, 0)); out.write(longs2bytes(Seq(8L)))
-    out.write(shorts2bytes(Seq(tags.size)))
+    if (big) {
+      out.write(Array[Byte]('I', 'I', 43, 0))
+      out.write(shorts2bytes(Seq(8, 0))) // offset size 8, pad 0
+      out.write(longs8bytes(Seq(headerSize.toLong))) // first IFD at 16
+      out.write(longs8bytes(Seq(tags.size.toLong)))
+    } else {
+      out.write(Array[Byte]('I', 'I', 42, 0)); out.write(longs2bytes(Seq(8L)))
+      out.write(shorts2bytes(Seq(tags.size)))
+    }
     var heapCursor = heapStart
     val heapOut = new java.io.ByteArrayOutputStream()
+    def writeOff(v: Long): Unit =
+      if (big) out.write(longs8bytes(Seq(v))) else out.write(longs2bytes(Seq(v)))
     tags.sortBy(_.id).foreach { t =>
       out.write(shorts2bytes(Seq(t.id, t.typ)))
-      out.write(longs2bytes(Seq(t.count.toLong)))
-      val sz = (t.typ match { case 2 => 1; case 3 => 2; case 4 => 4; case 12 => 8 }) * t.count
+      writeOff(t.count.toLong)
+      val sz = typeSize(t.typ) * t.count
       if (t.heap == null) {
-        // inline: SHORT in the first 2 bytes, LONG in all 4 (little-endian)
-        if (t.typ == 3) out.write(shorts2bytes(Seq(t.inline.toInt, 0)))
-        else out.write(longs2bytes(Seq(t.inline)))
-      } else if (sz <= 4) {
-        out.write(t.heap); out.write(new Array[Byte](4 - sz))
+        // inline scalar, little-endian: low bytes carry the value
+        if (!big && t.typ == 3) out.write(shorts2bytes(Seq(t.inline.toInt, 0)))
+        else writeOff(t.inline)
+      } else if (sz <= inlineCap) {
+        out.write(t.heap); out.write(new Array[Byte](inlineCap - sz))
       } else {
-        out.write(longs2bytes(Seq(heapCursor.toLong)))
+        writeOff(heapCursor.toLong)
         heapOut.write(t.heap); heapCursor += t.heap.length
       }
     }
-    out.write(longs2bytes(Seq(0L))) // next IFD
+    writeOff(0L) // next IFD
     out.write(heapOut.toByteArray)
     segs.foreach(out.write)
     val bytes = out.toByteArray
@@ -528,6 +559,79 @@ class GeoTiffSpec extends AnyFunSuite {
       (0 until rows * cols).foreach { k =>
         assert(t.grid.mask(k) == base.grid.mask(k), s"$name: mask diverges at $k")
       }
+    }
+  }
+
+  test("BigTIFF (magic 43, 8-byte offsets, LONG8 arrays) decodes identically to classic") {
+    val rows = 141; val cols = 133
+    val vals = Array.tabulate(rows * cols) { k =>
+      if (k % 997 == 0) -32768f else ((k * 37) % 4000 - 500).toFloat
+    }
+    val base = Tiff.decode(buildTiff(rows, cols, vals, compression = 1, predictor = 1, tiled = false))
+    // the layouts ArcticDEM/REMA-style products ship: tiled + compressed
+    // BigTIFF (int16 and float32), plus strip variants for coverage
+    val variants = Seq(
+      ("big strip uncompressed", buildTiff(rows, cols, vals, 1, 1, tiled = false, big = true)),
+      ("big strip deflate pred2", buildTiff(rows, cols, vals, 8, 2, tiled = false, rps = 37, big = true)),
+      ("big tiled deflate", buildTiff(rows, cols, vals, 8, 1, tiled = true, big = true)),
+      ("big tiled lzw", buildTiff(rows, cols, vals, 5, 1, tiled = true, tw = 33, th = 29, big = true)))
+    variants.foreach { case (name, bytes) =>
+      assert(bytes(2) == 43, name)
+      val t = Tiff.decode(bytes)
+      assert(t.grid.rows == rows && t.grid.cols == cols, name)
+      assert(t.grid.values.sameElements(base.grid.values), s"$name: values diverge")
+      assert(t.bbox == base.bbox && t.epsg == 4326, name)
+      assert(t.nodata.contains(-32768.0), s"$name: inline BigTIFF nodata string")
+      (0 until rows * cols).foreach { k =>
+        assert(t.grid.mask(k) == base.grid.mask(k), s"$name: mask diverges at $k")
+      }
+    }
+    // float32 BigTIFF (the actual ArcticDEM sample format)
+    val fvals = Array.tabulate(rows * cols)(k => if (k % 701 == 0) -9999f else (k % 3000) / 8f)
+    val tf = Tiff.decode(buildTiff(rows, cols, fvals, 8, 1, tiled = true, tw = 32, th = 32,
+      bits = 32, nodataTag = "-9999 ", big = true))
+    (0 until rows * cols).foreach { k =>
+      assert(tf.grid.values(k) == fvals(k))
+      assert(tf.grid.mask(k) == (fvals(k) == -9999f))
+    }
+  }
+
+  test("BigTIFF polar-stereographic fixture traces contours identically to its classic twin") {
+    assume(available)
+    // re-encode the projected Toulon window once classic, once BigTIFF —
+    // same grid bytes, two container layouts — and require identical
+    // contour output through the full pipeline (the ContourCli/RasterPipeline
+    // entry is extension-dispatched, so BigTIFF rides the same path)
+    val fwd: (Double, Double) => (Double, Double) = (lo, la) => Crs.fromWgs84(3413).get(lo, la)
+    val inv: (Double, Double) => (Double, Double) = (x, y) => Crs.toWgs84(3413).get(x, y)
+    val (classicPath, _) = projectedToulonTiff("polar_classic", 3413, fwd, inv)
+    val classicBytes = Files.readAllBytes(Paths.get(classicPath))
+    val classic = Tiff.decode(classicBytes)
+    val bigBytes = buildTiff(classic.grid.rows, classic.grid.cols, classic.grid.values,
+      compression = 8, predictor = 2, tiled = true, tw = 64, th = 64, epsg = 3413,
+      pixScale = (classic.scaleX, classic.scaleY),
+      tiePoint = (classic.originX, classic.originY), big = true)
+    val bigT = Tiff.decode(bigBytes)
+    assert(bigT.grid.values.sameElements(classic.grid.values))
+    assert(bigT.bbox == classic.bbox && bigT.epsg == 3413)
+    val bigTmp = Files.createTempFile("polar_big", ".tiff")
+    Files.write(bigTmp, bigBytes)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("tiff-bigtiff-twin")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import graft.engine.RasterPipeline
+    val cfg = JobConfig(
+      contourStepSize = 500, maxNodesPerWay = 0, rdpEpsilon = None, maxNodesPerTile = 0)
+    def trace(p: String) =
+      RasterPipeline.contours(RasterPipeline.tiles(spark, Seq(p), cfg), cfg)
+        .collect().sortBy(r => (r.elevation, r.pathIdx))
+    val a = trace(classicPath)
+    val b = trace(bigTmp.toString)
+    assert(a.nonEmpty && a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.elevation == y.elevation && x.nbNodes == y.nbNodes)
+      assert(x.coords.sameElements(y.coords), s"coords diverge at level ${x.elevation}")
     }
   }
 
