@@ -36,20 +36,47 @@ object ContourCli {
         val t = Tiff.decode(bytes, cfg.voidMax)
         (t.grid, t.bbox, t.epsg)
       } else (Hgt.decode(bytes, cfg.voidMax), Hgt.parseHgtFilename(file), 4326)
-    // --area degrees are WGS84: reproject the rect into the file CRS for
-    // separable sources, refuse loudly otherwise (same shared helper as
-    // RasterPipeline.tiles — the two surfaces cannot drift)
+    // --area degrees are WGS84: reproject the rect into the file CRS
+    // (exact for separable sources; envelope-superset crop for projected
+    // ones — same shared helper as RasterPipeline.tiles, so the two
+    // surfaces cannot drift)
     val nativeArea = cfg.area.map(a => Crs.nativeAreaString(a, epsg))
     val transform = Crs.toWgs84(epsg)
-    val lonInc = (bbox.maxLon - bbox.minLon) / (grid.cols - 1)
-    val latInc = (bbox.maxLat - bbox.minLat) / (grid.rows - 1)
+    val lonInc0 = (bbox.maxLon - bbox.minLon) / (grid.cols - 1)
+    val latInc0 = (bbox.maxLat - bbox.minLat) / (grid.rows - 1)
+    // projected CRS + --area: the envelope crop over-covers (the rect
+    // tilts under meridian convergence), so mask cells outside the
+    // densify-reprojected rect exactly — the rect rides the same path
+    // --poly clip polygons do in the pipeline
+    val grid2 = (cfg.area, Crs.fromWgs84(epsg)) match {
+      case (Some(a), Some(fwd)) if !Crs.axisSeparable(epsg) =>
+        val ring = Crs.densifyReproject(Crs.areaRectPolygon(a), fwd)
+        val xs = Array.tabulate(grid.cols)(c => bbox.minLon + c * lonInc0)
+        val ys = Array.tabulate(grid.rows)(r => bbox.maxLat - r * latInc0)
+        Geometry.polygonMask(xs, ys, Seq(ring), bboxExpand = 0.1 * 111320.0) match {
+          case Geometry.AllInside => grid
+          case Geometry.AllOutside =>
+            val m = new Array[Boolean](grid.values.length)
+            java.util.Arrays.fill(m, true)
+            grid.copy(mask = m)
+          case Geometry.Mixed(pm) =>
+            val m = if (grid.mask != null) grid.mask.clone()
+                    else new Array[Boolean](grid.values.length)
+            var k = 0
+            while (k < pm.length) { if (pm(k)) m(k) = true; k += 1 }
+            grid.copy(mask = m)
+        }
+      case _ => grid
+    }
+    val lonInc = lonInc0
+    val latInc = latInc0
     println(s"${file}: ${grid.rows} x ${grid.cols} points, bbox: (${bbox.minLon}, ${bbox.minLat}, ${bbox.maxLon}, ${bbox.maxLat})")
     val start = Chop.truncate(nativeArea, bbox, grid.rows, grid.cols, lonInc, latInc)
-    val slices = Chop.chop(grid, start, latInc, cfg.contourStepSize, cfg.maxNodesPerTile)
+    val slices = Chop.chop(grid2, start, latInc, cfg.contourStepSize, cfg.maxNodesPerTile)
     var totNodes = 0L
     var totWays = 0L
     slices.zipWithIndex.foreach { case (s, idx) =>
-      val gv = new GridView(grid.values, grid.mask, s.rowOff * grid.cols + s.colOff, grid.cols, s.rows, s.cols)
+      val gv = new GridView(grid2.values, grid2.mask, s.rowOff * grid.cols + s.colOff, grid.cols, s.rows, s.cols)
       val tc = ContourGen.tileContours(gv, s.bbox, lonInc, latInc, cfg, transform = transform)
       totNodes += tc.nbNodes
       totWays += tc.nbWays

@@ -610,26 +610,78 @@ object Crs {
     * (sliceMask's projected branch) instead. */
   def axisSeparable(epsg: Int): Boolean = epsg == 4326 || epsg == 3857
 
-  /** Convert a WGS84 `--area minLon:minLat:maxLon:maxLat` string into
-    * the same rect in `epsg`'s native coordinates, for grid-index
-    * truncation (Chop.truncate slices rows/cols, so the area must stay an
-    * axis-aligned rect in the FILE's CRS — true exactly for
-    * axis-separable sources; non-separable CRSs refuse loudly, steering
-    * to --poly whose mask densify-reprojects instead). Shared by
-    * RasterPipeline.tiles and ContourCli so the two surfaces cannot
-    * drift. */
+  /** Parse + validate a `--area minLon:minLat:maxLon:maxLat` string.
+    * A malformed field count or a non-numeric field fails here with the
+    * expected format in the message instead of surfacing as a MatchError
+    * deep inside an executor task. */
+  def parseArea(area: String): (Double, Double, Double, Double) = {
+    val f = area.split(":")
+    require(f.length == 4,
+      s"--area must be minLon:minLat:maxLon:maxLat, got '$area' (${f.length} fields)")
+    val v = f.map { s =>
+      try s.toDouble
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"--area must be minLon:minLat:maxLon:maxLat, got non-numeric field '$s' in '$area'")
+      }
+    }
+    (v(0), v(1), v(2), v(3))
+  }
+
+  /** The `--area` rect as a packed 4-vertex WGS84 ring — the clip-polygon
+    * form non-axis-separable sources use (their grid cannot be cropped by
+    * index on a lon/lat rect, so the rect becomes a mask polygon through
+    * the same densify-reproject path as --poly; strictly better than the
+    * reference's corner-only reverseTransform in truncate_data
+    * (file.py:580-587), which under/over-covers under meridian
+    * convergence). */
+  def areaRectPolygon(area: String): Array[Double] = {
+    val (lo0, la0, lo1, la1) = parseArea(area)
+    require(lo0 <= lo1,
+      "--area across the antimeridian is unsupported for projected sources")
+    Array(lo0, la0, lo1, la0, lo1, la1, lo0, la1)
+  }
+
+  /** Convert a WGS84 `--area minLon:minLat:maxLon:maxLat` string into an
+    * axis-aligned rect in `epsg`'s native coordinates for grid-index
+    * truncation (Chop.truncate slices rows/cols, so the crop must be a
+    * rect in the FILE's CRS). Exact for axis-separable sources (lon maps
+    * only to x, lat only to y); for projected CRSs (TM/LCC/LAEA/polar,
+    * where meridian convergence tilts the rect) this returns the native
+    * ENVELOPE of the densify-reprojected rect boundary — a superset crop
+    * that the cell-level area mask (areaRectPolygon through sliceMask)
+    * then trims exactly. Shared by RasterPipeline.tiles and ContourCli so
+    * the two surfaces cannot drift. */
   def nativeAreaString(area: String, epsg: Int): String = fromWgs84(epsg) match {
-    case None => area
+    case None =>
+      parseArea(area) // validate even when passed through untouched
+      area
     case Some(f) =>
-      require(axisSeparable(epsg),
-        s"--area needs an axis-separable source CRS; EPSG:$epsg is not " +
-          "(use --poly, whose mask reprojects)")
-      val Array(lo0, la0, lo1, la1) = area.split(":").map(_.toDouble)
+      val (lo0, la0, lo1, la1) = parseArea(area)
       require(lo0 <= lo1,
         "--area across the antimeridian is unsupported for projected sources")
-      val (x0, y0) = f(lo0, la0)
-      val (x1, y1) = f(lo1, la1)
-      s"$x0:$y0:$x1:$y1"
+      if (axisSeparable(epsg)) {
+        val (x0, y0) = f(lo0, la0)
+        val (x1, y1) = f(lo1, la1)
+        s"$x0:$y0:$x1:$y1"
+      } else {
+        val ring = densifyReproject(areaRectPolygon(area), f)
+        var minX = Double.MaxValue; var minY = Double.MaxValue
+        var maxX = Double.MinValue; var maxY = Double.MinValue
+        var i = 0
+        while (i < ring.length) {
+          if (ring(i) < minX) minX = ring(i)
+          if (ring(i) > maxX) maxX = ring(i)
+          if (ring(i + 1) < minY) minY = ring(i + 1)
+          if (ring(i + 1) > maxY) maxY = ring(i + 1)
+          i += 2
+        }
+        // pad by 1 m: the sampled boundary can under-cover the true
+        // envelope by the chord sagitta (~2.4 cm at the 0.01-degree
+        // densify step) — the pad keeps the crop a strict superset, and
+        // the exact area mask trims it back to the rect
+        s"${minX - 1.0}:${minY - 1.0}:${maxX + 1.0}:${maxY + 1.0}"
+      }
   }
 
   /** Python math.isclose default semantics (rel_tol 1e-9). */

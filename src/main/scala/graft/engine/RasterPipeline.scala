@@ -136,6 +136,28 @@ object RasterPipeline {
     })
   }
 
+  /** The clip polygons to apply for a source in `epsg`, folding `--area`
+    * in for non-axis-separable CRSs: their grid cannot be cropped by
+    * index on a WGS84 rect (meridian convergence tilts it), so the rect
+    * becomes a mask polygon riding the same densify-reproject path as
+    * --poly — cell-exact, strictly better than the reference's
+    * corner-only reverseTransform (file.py:580-587). With --poly AND
+    * --area, the polygons are clipped to the rect (intersection — the
+    * area crops, never extends). Deterministic in (cfg, epsg): the plan
+    * stage (tiles) and the trace stage (contours) derive identical
+    * masks from it. */
+  private def effectiveClip(cfg: JobConfig, epsg: Int): Option[Seq[Array[Double]]] =
+    cfg.area match {
+      case Some(a) if !Crs.axisSeparable(epsg) =>
+        val rect = Crs.areaRectPolygon(a)
+        cfg.polygons match {
+          case None => Some(Seq(rect))
+          case Some(ps) => Some(ps.flatMap(p =>
+            Geometry.clipToRect(p, rect(0), rect(1), rect(4), rect(5))))
+        }
+      case _ => cfg.polygons
+    }
+
   /** Scan + decode + chop: one lightweight spec row per tile. Clip-polygon
     * semantics follow the reference's make_tiles (file.py:732-768): tiles
     * fully outside the polygons are dropped here; border tiles are flagged
@@ -151,11 +173,14 @@ object RasterPipeline {
           decodeDem(path, bytes, cfg.voidMax, cfg.smoothRatio, cfg.feetSteps, cfg.corrx, cfg.corry)
         val lonInc = (bbox.maxLon - bbox.minLon) / (grid.cols - 1)
         val latInc = (bbox.maxLat - bbox.minLat) / (grid.rows - 1)
+        // native crop rect: exact for separable CRSs, envelope-superset
+        // for projected ones (the area mask below trims it cell-exact)
         val nativeArea = cfg.area.map(a => Crs.nativeAreaString(a, epsg))
         val start = Chop.truncate(nativeArea, bbox, grid.rows, grid.cols, lonInc, latInc)
         val slices = Chop.chop(grid, start, latInc, cfg.contourStepSize, cfg.maxNodesPerTile)
+        val clip = effectiveClip(cfg, epsg)
         slices.zipWithIndex.flatMap { case (s, idx) =>
-          val checkPoly = cfg.polygons match {
+          val checkPoly = clip match {
             case None => Some(false)
             case Some(polys) =>
               sliceMask(s.bbox, s.rows, s.cols, lonInc, latInc, epsg, polys) match {
@@ -240,10 +265,11 @@ object RasterPipeline {
           // checkPoly: OR the polygon-outside mask into (a copy of) the
           // void mask for this tile's window — outside-polygon cells trace
           // like voids, the reference's border-tile semantics
+          val clip = if (tr.checkPoly) effectiveClip(cfg, tr.epsg) else None
           val mask: Array[Boolean] =
-            if (tr.checkPoly && cfg.polygons.isDefined) {
+            if (clip.isDefined) {
               sliceMask(BBox(tr.minLon, tr.minLat, tr.maxLon, tr.maxLat),
-                tr.rows, tr.cols, tr.lonInc, tr.latInc, tr.epsg, cfg.polygons.get) match {
+                tr.rows, tr.cols, tr.lonInc, tr.latInc, tr.epsg, clip.get) match {
                 case Geometry.Mixed(pm) =>
                   val m = if (g.mask != null) g.mask.clone() else new Array[Boolean](g.values.length)
                   var r = 0

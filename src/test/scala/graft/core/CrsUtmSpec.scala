@@ -117,8 +117,8 @@ class CrsUtmSpec extends AnyFunSuite {
     val (xw, yw) = Crs.wgs84ToUtm(10.7, 52.3, 32, north = true)
     val (xg, yg) = Crs.fromWgs84(25832).get(10.7, 52.3)
     assert(math.hypot(xw - xg, yw - yg) < 1e-3)
-    // projected CRSs: not axis-separable (clip polygons take the
-    // densify-reproject path, --area refuses)
+    // projected CRSs: not axis-separable (clip polygons AND --area rects
+    // take the densify-reproject path)
     assert(!Crs.axisSeparable(25832) && !Crs.axisSeparable(26910))
   }
 

@@ -250,16 +250,72 @@ class GeoTiffSpec extends AnyFunSuite {
       assert(r.minLon > 6.3 - tol && r.maxLon < 6.7 + tol, s"${(r.minLon, r.maxLon)}")
       assert(r.minLat > 43.3 - tol && r.maxLat < 43.7 + tol, s"${(r.minLat, r.maxLat)}")
     }
-    // UTM sources must refuse --area loudly (non-separable), steering to --poly
-    val cfgUtm = cfg.copy(area = Some("6.3:43.3:6.7:43.7"))
-    val (utmPath, _) = projectedToulonTiff("utm_area_refuse", 32632,
+    // a malformed area string fails with the expected format in the message
+    val bad = intercept[IllegalArgumentException](Crs.nativeAreaString("6.3:43.3:6.7", 3857))
+    assert(bad.getMessage.contains("minLon:minLat:maxLon:maxLat"), bad.getMessage)
+  }
+
+  test("--area on a projected (UTM) source equals the same rect passed as --poly") {
+    assume(available)
+    // reference parity with BETTER semantics: file.py:580-587 accepts
+    // --area on any CRS via a corner-only reverseTransform that under/
+    // over-covers under meridian convergence; here the WGS84 rect rides
+    // the densify-reproject clip-polygon path, so the area mask is
+    // cell-exact. The pinning invariant: --area == the identical rect as
+    // a clip polygon, row for row.
+    val (utmPath, _) = projectedToulonTiff("utm_area", 32632,
       (lo, la) => Crs.wgs84ToUtm(lo, la, 32, north = true),
       (x, y) => Crs.utmToWgs84(x, y, 32, north = true))
-    val ex = intercept[org.apache.spark.SparkException] {
-      RasterPipeline.tiles(spark, Seq(utmPath), cfgUtm).collect()
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("tiff-utm-area")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import graft.engine.RasterPipeline
+    val base = JobConfig(
+      contourStepSize = 100, maxNodesPerWay = 0, rdpEpsilon = None, maxNodesPerTile = 0)
+    def run(cfg: JobConfig) =
+      RasterPipeline.contours(RasterPipeline.tiles(spark, Seq(utmPath), cfg), cfg)
+        .collect().sortBy(r => (r.elevation, r.pathIdx))
+    val rect = (6.35, 43.35, 6.65, 43.65)
+    val viaArea = run(base.copy(area = Some("6.35:43.35:6.65:43.65")))
+    val viaPoly = run(base.copy(polygons = Some(Seq(Array(
+      rect._1, rect._2, rect._3, rect._2, rect._3, rect._4, rect._1, rect._4)))))
+    val plain = run(base)
+    assert(viaArea.nonEmpty)
+    // the area genuinely prunes vs the unclipped run
+    assert(viaArea.map(_.nbNodes.toLong).sum < plain.map(_.nbNodes.toLong).sum / 2)
+    // and matches the clip-polygon twin exactly (same machinery underneath)
+    assert(viaArea.length == viaPoly.length)
+    viaArea.zip(viaPoly).foreach { case (a, p) =>
+      assert(a.elevation == p.elevation && a.nbNodes == p.nbNodes)
+      // the area path traces from the truncated window's origin, the poly
+      // path from the full grid's — same cells, different float base, so
+      // lattice coordinates agree to ulps, not bit-exactly
+      assert(a.coords.length == p.coords.length, s"path length at level ${a.elevation}")
+      a.coords.zip(p.coords).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9, s"coords diverge at level ${a.elevation}: $x vs $y")
+      }
     }
-    assert(ex.getMessage.contains("axis-separable") ||
-      Option(ex.getCause).exists(_.getMessage.contains("axis-separable")), ex.getMessage)
+    // every traced coordinate stays within one coarse cell of the rect
+    val tol = 0.005
+    viaArea.foreach { r =>
+      var i = 0
+      while (i < r.coords.length) {
+        assert(r.coords(i) >= rect._1 - tol && r.coords(i) <= rect._3 + tol, s"lon ${r.coords(i)}")
+        assert(r.coords(i + 1) >= rect._2 - tol && r.coords(i + 1) <= rect._4 + tol, s"lat ${r.coords(i + 1)}")
+        i += 2
+      }
+    }
+    // CLI twin: ContourCli accepts --area on the UTM source through the
+    // same shared helpers and reports the same node total
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      graft.ContourCli.main(Array(utmPath, "--step", "100", "--max-nodes-per-tile", "0",
+        "--max-nodes-per-way", "0", "--area", "6.35:43.35:6.65:43.65"))
+    }
+    val total = buf.toString("UTF-8").linesIterator.find(_.startsWith("total:")).get
+    val cliNodes = total.split(",")(1).trim.split(" ")(0).toLong
+    assert(cliNodes == viaArea.map(_.nbNodes.toLong).sum, total)
   }
 
   test("UTM tiff clipped by a sub-tile polygon matches the 4326 twin's clip semantics") {
