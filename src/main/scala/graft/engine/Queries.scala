@@ -1321,10 +1321,13 @@ object Queries {
            | length(list_distinct(regexp_extract_all(text, '[aeiou]+|[^aeiou\s]+'))) AS n_distinct_pieces
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  /** Multimodal pipeline gate: the deterministic media table (binary
-    * payloads + typed metadata) through feature extraction (partition-
-    * batched decode-stub + hash-projected embedding), video frame
-    * sampling, and metadata resize — `engine/Multimodal.scala` made
+  /** Multimodal pipeline gate: the deterministic media table (REAL
+    * binary payloads — PNG images, WAV audio, length-framed PNG video —
+    * with typed metadata) through feature extraction (partition-batched
+    * real decode + hash-projected embedding of the decoded samples),
+    * video frame sampling, metadata resize, and pixel-level
+    * nearest-neighbour resize (decode -> resample -> re-encode) —
+    * `engine/Multimodal.scala` + `core/Png.scala`/`Wav` made
     * driver-visible. The generator is seeded, so the oracle is a pinned
     * VALUES table (like q50's reference goldens). */
   private val qMultimodal = Q(
@@ -1354,14 +1357,22 @@ object Queries {
       val resized = Multimodal.resizeMeta(media.toDF(), maxSide = 96)
         .agg(sum(col("meta.width").cast("long") * col("meta.height")).as("area"))
         .select(expr("stack(1, 'resized_area_sum', CAST(area AS DOUBLE)) AS (metric, value)"))
-      kindMetrics.unionAll(frameMetrics).unionAll(resized).orderBy("metric")
+      // pixel-level resize: decoded output dims drive the metric, so a
+      // broken decode/re-encode cannot pass on metadata alone
+      val pxResized = Multimodal.resizePixels(media, maxSide = 96).toDF()
+        .filter(col("kind") === "image")
+        .agg(sum(col("meta.width").cast("long") * col("meta.height")).as("px_area"))
+        .select(expr(
+          "stack(1, 'resized_px_area_sum', CAST(px_area AS DOUBLE)) AS (metric, value)"))
+      kindMetrics.unionAll(frameMetrics).unionAll(resized).unionAll(pxResized)
+        .orderBy("metric")
     },
     Some("""SELECT metric, CAST(value AS DOUBLE) AS value FROM (VALUES
-           | ('bytes_audio', 753.98), ('bytes_image', 762.9), ('bytes_video', 740.08),
-           | ('feat0_audio', 150.71784), ('feat0_image', 150.21574), ('feat0_video', 150.40798),
-           | ('frame_idx_sum', 1880.0), ('n_audio', 100.0), ('n_frame_media', 100.0),
-           | ('n_frames', 341.0), ('n_image', 100.0), ('n_video', 100.0),
-           | ('resized_area_sum', 1372645.0)) AS t(metric, value)
+           | ('bytes_audio', 1439.96), ('bytes_image', 15077.7), ('bytes_video', 3174.0),
+           | ('feat0_audio', 171.006), ('feat0_image', 596.75415), ('feat0_video', 133.27181),
+           | ('frame_idx_sum', 1600.0), ('n_audio', 100.0), ('n_frame_media', 100.0),
+           | ('n_frames', 325.0), ('n_image', 100.0), ('n_video', 100.0),
+           | ('resized_area_sum', 496464.0), ('resized_px_area_sum', 477264.0)) AS t(metric, value)
            |ORDER BY metric""".stripMargin))
 
   // --------------------------------------------------------------- relational ---
