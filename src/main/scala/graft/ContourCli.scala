@@ -31,25 +31,25 @@ object ContourCli {
       }
     }
     val bytes = Fs.readAllBytes(file)
-    val (grid, bbox, epsg) =
+    val (grid, bbox, epsg, spec) =
       if (Tiff.isTiff(file)) {
         val t = Tiff.decode(bytes, cfg.voidMax)
-        (t.grid, t.bbox, t.epsg)
-      } else (Hgt.decode(bytes, cfg.voidMax), Hgt.parseHgtFilename(file), 4326)
+        (t.grid, t.bbox, t.epsg, t.spec)
+      } else (Hgt.decode(bytes, cfg.voidMax), Hgt.parseHgtFilename(file), 4326, "")
     // --area degrees are WGS84: reproject the rect into the file CRS
     // (exact for separable sources; envelope-superset crop for projected
     // ones — same shared helper as RasterPipeline.tiles, so the two
     // surfaces cannot drift)
-    val nativeArea = cfg.area.map(a => Crs.nativeAreaString(a, epsg))
-    val transform = Crs.toWgs84(epsg)
+    val nativeArea = cfg.area.map(a => Crs.nativeAreaString(a, epsg, spec))
+    val transform = Crs.toWgs84(epsg, spec)
     val lonInc0 = (bbox.maxLon - bbox.minLon) / (grid.cols - 1)
     val latInc0 = (bbox.maxLat - bbox.minLat) / (grid.rows - 1)
     // projected CRS + --area: the envelope crop over-covers (the rect
     // tilts under meridian convergence), so mask cells outside the
     // densify-reprojected rect exactly — the rect rides the same path
     // --poly clip polygons do in the pipeline
-    val grid2 = (cfg.area, Crs.fromWgs84(epsg)) match {
-      case (Some(a), Some(fwd)) if !Crs.axisSeparable(epsg) =>
+    val grid2 = (cfg.area, Crs.fromWgs84(epsg, spec)) match {
+      case (Some(a), Some(fwd)) if !Crs.axisSeparable(epsg, spec) =>
         val ring = Crs.densifyReproject(Crs.areaRectPolygon(a), fwd)
         val xs = Array.tabulate(grid.cols)(c => bbox.minLon + c * lonInc0)
         val ys = Array.tabulate(grid.rows)(r => bbox.maxLat - r * latInc0)

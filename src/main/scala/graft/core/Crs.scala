@@ -601,6 +601,83 @@ object Crs {
         "2193 NZTM, 2154 Lambert-93, 27700 OSGB)")
   }
 
+  // ------------------------- user-defined (GeoKey-parameterized) CRSs ---
+  /** A projected CRS given by explicit parameters instead of an EPSG
+    * code — the GeoTIFF ProjectedCSTypeGeoKey = 32767 (user-defined)
+    * case, where the file carries ProjCoordTrans + origin/scale/false-
+    * offset GeoKeys and ellipsoid constants rather than a registry code
+    * (reference: pyproj builds the same instance from the GeoKey dict,
+    * file.py:132-166). Canonical string form so the spec can ride a
+    * Dataset column and serve as a cache key:
+    *
+    *   "tm:a=6378137;invf=298.257223563;k0=0.9996;lon0=9;lat0=0;fe=500000;fn=0"
+    *   "lcc:a=...;invf=...;lat0=...;lon0=...;lat1=...;lat2=...;fe=...;fn=..."
+    *   "laea:a=...;invf=...;lat0=...;lon0=...;fe=...;fn=..."
+    *   "ps:a=...;invf=...;latts=...;lon0=...;fe=...;fn=..."  (latts signed; <0 = south)
+    *
+    * Datum: treated as WGS84-coincident (GeoKeys carry no transformation
+    * parameters; this is pyproj's behavior for +towgs84-less definitions
+    * too). Instances are memoized per spec string per JVM. */
+  def projSpecString(family: String, params: Seq[(String, Double)]): String =
+    // Double.toString is locale-independent and round-trips exactly
+    family + ":" + params.map { case (k, v) => s"$k=$v" }.mkString(";")
+
+  private val specCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def specInstance(spec: String): AnyRef =
+    specCache.computeIfAbsent(spec, { s =>
+      val sep = s.indexOf(':')
+      require(sep > 0, s"malformed CRS spec '$s'")
+      val family = s.substring(0, sep)
+      val kv = s.substring(sep + 1).split(';').iterator.map { p =>
+        val eq = p.indexOf('=')
+        require(eq > 0, s"malformed CRS spec param '$p' in '$s'")
+        p.substring(0, eq) -> p.substring(eq + 1).toDouble
+      }.toMap
+      def need(k: String): Double =
+        kv.getOrElse(k, throw new IllegalArgumentException(s"CRS spec '$s' lacks '$k'"))
+      val ell = Ellipsoid(need("a"), need("invf"))
+      family match {
+        case "tm" => new TransverseMercator(ell, need("k0"), need("lon0"), need("lat0"),
+          need("fe"), need("fn"))
+        case "lcc" => new LambertConformal2SP(ell, need("lat0"), need("lon0"),
+          need("lat1"), need("lat2"), need("fe"), need("fn"))
+        case "laea" => new LambertAzimuthalEqualArea(ell, need("lat0"), need("lon0"),
+          need("fe"), need("fn"))
+        case "ps" => new PolarStereographic(ell, need("latts"), need("lon0"),
+          need("fe"), need("fn"))
+        case other => throw new IllegalArgumentException(
+          s"unsupported CRS spec family '$other' (tm/lcc/laea/ps)")
+      }
+    })
+
+  /** Spec-form transforms (WGS84-coincident datum — see projSpecString). */
+  def specToWgs84(spec: String): (Double, Double) => (Double, Double) =
+    specInstance(spec) match {
+      case t: TransverseMercator => t.inverse
+      case l: LambertConformal2SP => l.inverse
+      case a: LambertAzimuthalEqualArea => a.inverse
+      case p: PolarStereographic => p.inverse
+    }
+  def specFromWgs84(spec: String): (Double, Double) => (Double, Double) =
+    specInstance(spec) match {
+      case t: TransverseMercator => t.forward
+      case l: LambertConformal2SP => l.forward
+      case a: LambertAzimuthalEqualArea => a.forward
+      case p: PolarStereographic => p.forward
+    }
+
+  /** Code-or-spec dispatch: a non-empty `spec` (user-defined GeoKeys)
+    * wins over the EPSG code. These are the entry points the pipeline
+    * uses so user-defined DEMs ride every path a coded CRS does. */
+  def toWgs84(epsg: Int, spec: String): Option[(Double, Double) => (Double, Double)] =
+    if (spec.nonEmpty) Some(specToWgs84(spec)) else toWgs84(epsg)
+  def fromWgs84(epsg: Int, spec: String): Option[(Double, Double) => (Double, Double)] =
+    if (spec.nonEmpty) Some(specFromWgs84(spec)) else fromWgs84(epsg)
+  def axisSeparable(epsg: Int, spec: String): Boolean =
+    spec.isEmpty && axisSeparable(epsg) // all spec families mix axes
+
   /** True when lon depends only on x and lat only on y under toWgs84 —
     * the property that lets a projected grid reproject its AXES to WGS84
     * (RasterPipeline.sliceMask's separable branch) and accept --area
@@ -652,37 +729,38 @@ object Crs {
     * that the cell-level area mask (areaRectPolygon through sliceMask)
     * then trims exactly. Shared by RasterPipeline.tiles and ContourCli so
     * the two surfaces cannot drift. */
-  def nativeAreaString(area: String, epsg: Int): String = fromWgs84(epsg) match {
-    case None =>
-      parseArea(area) // validate even when passed through untouched
-      area
-    case Some(f) =>
-      val (lo0, la0, lo1, la1) = parseArea(area)
-      require(lo0 <= lo1,
-        "--area across the antimeridian is unsupported for projected sources")
-      if (axisSeparable(epsg)) {
-        val (x0, y0) = f(lo0, la0)
-        val (x1, y1) = f(lo1, la1)
-        s"$x0:$y0:$x1:$y1"
-      } else {
-        val ring = densifyReproject(areaRectPolygon(area), f)
-        var minX = Double.MaxValue; var minY = Double.MaxValue
-        var maxX = Double.MinValue; var maxY = Double.MinValue
-        var i = 0
-        while (i < ring.length) {
-          if (ring(i) < minX) minX = ring(i)
-          if (ring(i) > maxX) maxX = ring(i)
-          if (ring(i + 1) < minY) minY = ring(i + 1)
-          if (ring(i + 1) > maxY) maxY = ring(i + 1)
-          i += 2
+  def nativeAreaString(area: String, epsg: Int, spec: String = ""): String =
+    fromWgs84(epsg, spec) match {
+      case None =>
+        parseArea(area) // validate even when passed through untouched
+        area
+      case Some(f) =>
+        val (lo0, la0, lo1, la1) = parseArea(area)
+        require(lo0 <= lo1,
+          "--area across the antimeridian is unsupported for projected sources")
+        if (axisSeparable(epsg, spec)) {
+          val (x0, y0) = f(lo0, la0)
+          val (x1, y1) = f(lo1, la1)
+          s"$x0:$y0:$x1:$y1"
+        } else {
+          val ring = densifyReproject(areaRectPolygon(area), f)
+          var minX = Double.MaxValue; var minY = Double.MaxValue
+          var maxX = Double.MinValue; var maxY = Double.MinValue
+          var i = 0
+          while (i < ring.length) {
+            if (ring(i) < minX) minX = ring(i)
+            if (ring(i) > maxX) maxX = ring(i)
+            if (ring(i + 1) < minY) minY = ring(i + 1)
+            if (ring(i + 1) > maxY) maxY = ring(i + 1)
+            i += 2
+          }
+          // pad by 1 m: the sampled boundary can under-cover the true
+          // envelope by the chord sagitta (~2.4 cm at the 0.01-degree
+          // densify step) — the pad keeps the crop a strict superset, and
+          // the exact area mask trims it back to the rect
+          s"${minX - 1.0}:${minY - 1.0}:${maxX + 1.0}:${maxY + 1.0}"
         }
-        // pad by 1 m: the sampled boundary can under-cover the true
-        // envelope by the chord sagitta (~2.4 cm at the 0.01-degree
-        // densify step) — the pad keeps the crop a strict superset, and
-        // the exact area mask trims it back to the rect
-        s"${minX - 1.0}:${minY - 1.0}:${maxX + 1.0}:${maxY + 1.0}"
-      }
-  }
+    }
 
   /** Python math.isclose default semantics (rel_tol 1e-9). */
   def isClose(a: Double, b: Double, relTol: Double = 1e-9, absTol: Double = 0.0): Boolean =

@@ -22,7 +22,12 @@ object Tiff {
       scaleX: Double, // pixel width (positive)
       scaleY: Double, // pixel height (positive; rows go north->south)
       epsg: Int,
-      nodata: Option[Double]) {
+      nodata: Option[Double],
+      // non-empty for user-defined CRSs (ProjectedCSTypeGeoKey = 32767):
+      // a Crs spec string built from the ProjCoordTrans parameter GeoKeys
+      // (see Crs.projSpecString) — takes precedence over `epsg` in the
+      // Crs.toWgs84/fromWgs84(epsg, spec) dispatch
+      spec: String = "") {
 
     /** Pixel-center bbox in the file's native CRS (reference
       * parse_geotiff_bbox math, file.py:196-201). */
@@ -325,21 +330,100 @@ object Tiff {
     val originX = tie(3) - tie(0) * scale(0)
     val originY = tie(4) + tie(1) * scale(1)
 
-    // GeoKey directory: 4-short header then (keyId, tagLoc, count, value)
+    // GeoKey directory: 4-short header then (keyId, tagLoc, count, value);
+    // SHORT keys live inline (tagLoc 0), DOUBLE keys index GeoDoubleParams
+    // (tagLoc 34736, value = offset into that tag's double array)
     val geokeys = longs(34735)
-    var epsg = 0
+    val geoDbls = doubles(34736)
+    val gkShort = scala.collection.mutable.Map.empty[Int, Int]
+    val gkDouble = scala.collection.mutable.Map.empty[Int, Double]
     var gk = 4
     while (gk + 3 < geokeys.length) {
       val keyId = geokeys(gk).toInt
       val tagLoc = geokeys(gk + 1).toInt
       val value = geokeys(gk + 3).toInt
-      // 3072 ProjectedCSType wins over 2048 GeographicType when both present
-      if (tagLoc == 0 && keyId == 3072) epsg = value
-      else if (tagLoc == 0 && keyId == 2048 && epsg == 0) epsg = value
+      if (tagLoc == 0) gkShort(keyId) = value
+      else if (tagLoc == 34736 && value < geoDbls.length) gkDouble(keyId) = geoDbls(value)
       gk += 4
     }
+    // 3072 ProjectedCSType wins over 2048 GeographicType when both present
+    val epsg = gkShort.getOrElse(3072, gkShort.getOrElse(2048, 0))
     require(epsg > 0, "GeoTIFF lacks an EPSG code in its GeoKey directory")
+    val spec = if (epsg == 32767) userDefinedSpec(gkShort.toMap, gkDouble.toMap) else ""
 
-    GeoTiff(Grid(rows, cols, values, mask), originX, originY, scale(0), scale(1), epsg, nodata)
+    GeoTiff(Grid(rows, cols, values, mask), originX, originY, scale(0), scale(1), epsg, nodata,
+      spec)
+  }
+
+  /** Build a Crs spec string for a user-defined projected CRS
+    * (ProjectedCSTypeGeoKey = 32767): ProjCoordTransGeoKey (3075) selects
+    * the projection family, the Proj* DOUBLE keys carry its parameters,
+    * and the ellipsoid comes from explicit GeogSemiMajorAxis +
+    * GeogInvFlattening, a known GeogEllipsoid/GeographicType code, or
+    * WGS84 by default. The reference reads the same GeoKey dict through
+    * pyproj (/root/reference/pyhgtmap/hgt/file.py:132-166); building the
+    * projection instance directly closes "any projected DEM" without an
+    * ever-growing EPSG whitelist. Unsupported transform codes refuse
+    * loudly with the supported list. */
+  private[core] def userDefinedSpec(
+      shorts: Map[Int, Int], dbls: Map[Int, Double]): String = {
+    def d(keys: Int*): Option[Double] = keys.collectFirst { case k if dbls.contains(k) => dbls(k) }
+    def need(what: String, keys: Int*): Double =
+      d(keys: _*).getOrElse(throw new IllegalArgumentException(
+        s"user-defined CRS lacks $what (GeoKeys ${keys.mkString("/")})"))
+    // ellipsoid: explicit semi-major + inverse flattening wins; else a
+    // known ellipsoid (2056) or geographic-datum (2048) code; else WGS84
+    // (matches pyproj's default when the keys are absent)
+    val (a, invf) = (dbls.get(2057), dbls.get(2059)) match {
+      case (Some(aa), Some(ff)) => (aa, ff)
+      case _ =>
+        (shorts.get(2056), shorts.get(2048)) match {
+          case (Some(7019), _) | (_, Some(4258)) | (_, Some(4269)) =>
+            (6378137.0, 298.257222101) // GRS80 (ETRS89 / NAD83)
+          case (Some(7001), _) | (_, Some(4277)) =>
+            (6377563.396, 299.3249646) // Airy 1830 (OSGB36)
+          case _ => (6378137.0, 298.257223563) // WGS84
+        }
+    }
+    val ct = shorts.getOrElse(3075, throw new IllegalArgumentException(
+      "user-defined CRS lacks ProjCoordTransGeoKey (3075)"))
+    val fe = d(3086, 3082).getOrElse(0.0) // FalseOriginEasting | FalseEasting
+    val fn = d(3087, 3083).getOrElse(0.0)
+    ct match {
+      case 1 => // CT_TransverseMercator
+        Crs.projSpecString("tm", Seq(
+          "a" -> a, "invf" -> invf,
+          "k0" -> d(3092).getOrElse(1.0),
+          "lon0" -> need("a central meridian", 3080, 3088),
+          "lat0" -> d(3081, 3089).getOrElse(0.0),
+          "fe" -> fe, "fn" -> fn))
+      case 8 => // CT_LambertConfConic_2SP (false-origin keys 3084-3087)
+        Crs.projSpecString("lcc", Seq(
+          "a" -> a, "invf" -> invf,
+          "lat0" -> need("a false-origin latitude", 3085, 3081, 3089),
+          "lon0" -> need("a false-origin longitude", 3084, 3080, 3088),
+          "lat1" -> need("standard parallel 1 (GeoKey 3078)", 3078),
+          "lat2" -> need("standard parallel 2 (GeoKey 3079)", 3079),
+          "fe" -> fe, "fn" -> fn))
+      case 10 => // CT_LambertAzimEqualArea (center keys 3088/3089)
+        Crs.projSpecString("laea", Seq(
+          "a" -> a, "invf" -> invf,
+          "lat0" -> need("a projection-center latitude", 3089, 3081),
+          "lon0" -> need("a projection-center longitude", 3088, 3080),
+          "fe" -> fe, "fn" -> fn))
+      case 15 => // CT_PolarStereographic, variant B: NatOriginLat is the
+        // standard parallel (signed; < 0 = south aspect) and
+        // StraightVertPoleLong the central meridian. Variant A (scale at
+        // the pole, no standard parallel) refuses via `need` below.
+        Crs.projSpecString("ps", Seq(
+          "a" -> a, "invf" -> invf,
+          "latts" -> need("a standard parallel", 3081, 3078),
+          "lon0" -> need("a central meridian", 3094, 3088, 3080),
+          "fe" -> fe, "fn" -> fn))
+      case other => throw new IllegalArgumentException(
+        s"user-defined CRS: unsupported ProjCoordTrans code $other " +
+          "(supported: TransverseMercator=1, LambertConfConic_2SP=8, " +
+          "LambertAzimEqualArea=10, PolarStereographic=15)")
+    }
   }
 }

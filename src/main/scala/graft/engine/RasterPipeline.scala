@@ -42,7 +42,10 @@ object RasterPipeline {
       // true when the tile straddles a clip-polygon border (reference
       // checkPoly): the trace stage recomputes the cell mask; fully-inside
       // tiles skip it, fully-outside tiles were dropped at plan time
-      checkPoly: Boolean = false)
+      checkPoly: Boolean = false,
+      // user-defined CRS spec (GeoTIFF ProjectedCSTypeGeoKey = 32767);
+      // non-empty wins over `epsg` in every Crs dispatch below
+      spec: String = "")
 
   final case class ContourRow(
       key: String,
@@ -61,8 +64,8 @@ object RasterPipeline {
     * init_as_hgt (file.py:449-498). */
   private def decodeDem(path: String, bytes: Array[Byte], voidMax: Int,
       smoothRatio: Double, feetSteps: Boolean,
-      corrx: Double = 0.0, corry: Double = 0.0): (Grid, BBox, Int) = {
-    val (raw, bbox0, epsg) =
+      corrx: Double = 0.0, corry: Double = 0.0): (Grid, BBox, Int, String) = {
+    val (raw, bbox0, epsg, spec) =
       if (Tiff.isTiff(path)) {
         val t = Tiff.decode(bytes, voidMax)
         // corrx/corry are WGS84 corrections; the reference round-trips
@@ -72,12 +75,12 @@ object RasterPipeline {
         require(t.epsg == 4326 || (corrx == 0.0 && corry == 0.0),
           "--corrx/--corry on non-4326 sources is unsupported")
         (t.grid, BBox(b.minLon + corrx, b.minLat + corry, b.maxLon + corrx, b.maxLat + corry),
-          t.epsg)
+          t.epsg, t.spec)
       } else
-        (Hgt.decode(bytes, voidMax), Hgt.parseHgtFilename(path, corrx, corry), 4326)
+        (Hgt.decode(bytes, voidMax), Hgt.parseHgtFilename(path, corrx, corry), 4326, "")
     val zoomed = if (smoothRatio != 1.0) Resample.zoom(raw, smoothRatio) else raw
     val grid = if (feetSteps) Hgt.toFeet(zoomed) else zoomed
-    (grid, bbox0, epsg)
+    (grid, bbox0, epsg, spec)
   }
 
   /** Cell mask of a tile slice vs the WGS84 clip polygons, CRS-aware.
@@ -96,17 +99,18 @@ object RasterPipeline {
     *   transforms the whole meshgrid (file.py:310-365) — same semantics,
     *   O(polygon) instead of O(raster) transform work. */
   private def sliceMask(bbox: BBox, rows: Int, cols: Int, lonInc: Double, latInc: Double,
-      epsg: Int, polygons: Seq[Array[Double]]): Geometry.MaskResult = {
+      epsg: Int, spec: String, polygons: Seq[Array[Double]]): Geometry.MaskResult = {
     val xs = Array.tabulate(cols)(c => bbox.minLon + c * lonInc)
     val ys = Array.tabulate(rows)(r => bbox.maxLat - r * latInc)
-    Crs.toWgs84(epsg) match {
+    Crs.toWgs84(epsg, spec) match {
       case None => Geometry.polygonMask(xs, ys, polygons)
-      case Some(f) if Crs.axisSeparable(epsg) =>
+      case Some(f) if Crs.axisSeparable(epsg, spec) =>
         Geometry.polygonMask(xs.map(x => f(x, 0.0)._1), ys.map(y => f(0.0, y)._2), polygons)
       case Some(_) =>
         // bboxExpand mirrors the reference's 0.1-degree clip margin in
         // this CRS's meters (the exact value only needs to be >= 0)
-        Geometry.polygonMask(xs, ys, nativePolys(epsg, polygons), bboxExpand = 0.1 * 111320.0)
+        Geometry.polygonMask(xs, ys, nativePolys(epsg, spec, polygons),
+          bboxExpand = 0.1 * 111320.0)
     }
   }
 
@@ -119,8 +123,9 @@ object RasterPipeline {
     * the polygons. The cache holds a handful of entries (one per clip
     * config per CRS actually seen by this executor). */
   private val nativePolyCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Seq[Array[Double]]]()
-  private def nativePolys(epsg: Int, polygons: Seq[Array[Double]]): Seq[Array[Double]] = {
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[Array[Double]]]()
+  private def nativePolys(epsg: Int, spec: String,
+      polygons: Seq[Array[Double]]): Seq[Array[Double]] = {
     var h = 1125899906842597L
     polygons.foreach { poly =>
       var i = 0
@@ -130,8 +135,8 @@ object RasterPipeline {
       }
       h = h * 31 + poly.length
     }
-    nativePolyCache.computeIfAbsent((epsg, h), _ => {
-      val fwd = Crs.fromWgs84(epsg).get
+    nativePolyCache.computeIfAbsent((s"$epsg|$spec", h), _ => {
+      val fwd = Crs.fromWgs84(epsg, spec).get
       polygons.map(poly => Crs.densifyReproject(poly, fwd))
     })
   }
@@ -146,9 +151,10 @@ object RasterPipeline {
     * area crops, never extends). Deterministic in (cfg, epsg): the plan
     * stage (tiles) and the trace stage (contours) derive identical
     * masks from it. */
-  private def effectiveClip(cfg: JobConfig, epsg: Int): Option[Seq[Array[Double]]] =
+  private def effectiveClip(cfg: JobConfig, epsg: Int,
+      spec: String): Option[Seq[Array[Double]]] =
     cfg.area match {
-      case Some(a) if !Crs.axisSeparable(epsg) =>
+      case Some(a) if !Crs.axisSeparable(epsg, spec) =>
         val rect = Crs.areaRectPolygon(a)
         cfg.polygons match {
           case None => Some(Seq(rect))
@@ -169,21 +175,21 @@ object RasterPipeline {
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val key = path.split('/').last.replaceAll("\\.(hgt|tif|tiff)$", "")
-        val (grid, bbox, epsg) =
+        val (grid, bbox, epsg, spec) =
           decodeDem(path, bytes, cfg.voidMax, cfg.smoothRatio, cfg.feetSteps, cfg.corrx, cfg.corry)
         val lonInc = (bbox.maxLon - bbox.minLon) / (grid.cols - 1)
         val latInc = (bbox.maxLat - bbox.minLat) / (grid.rows - 1)
         // native crop rect: exact for separable CRSs, envelope-superset
         // for projected ones (the area mask below trims it cell-exact)
-        val nativeArea = cfg.area.map(a => Crs.nativeAreaString(a, epsg))
+        val nativeArea = cfg.area.map(a => Crs.nativeAreaString(a, epsg, spec))
         val start = Chop.truncate(nativeArea, bbox, grid.rows, grid.cols, lonInc, latInc)
         val slices = Chop.chop(grid, start, latInc, cfg.contourStepSize, cfg.maxNodesPerTile)
-        val clip = effectiveClip(cfg, epsg)
+        val clip = effectiveClip(cfg, epsg, spec)
         slices.zipWithIndex.flatMap { case (s, idx) =>
           val checkPoly = clip match {
             case None => Some(false)
             case Some(polys) =>
-              sliceMask(s.bbox, s.rows, s.cols, lonInc, latInc, epsg, polys) match {
+              sliceMask(s.bbox, s.rows, s.cols, lonInc, latInc, epsg, spec, polys) match {
                 case Geometry.AllOutside => None // drop: tile outside every polygon
                 case Geometry.AllInside => Some(false)
                 case _: Geometry.Mixed => Some(true)
@@ -191,7 +197,7 @@ object RasterPipeline {
           }
           checkPoly.map { cp =>
             DemTileRow(key, idx, path, s.bbox.minLon, s.bbox.minLat, s.bbox.maxLon, s.bbox.maxLat,
-              s.rowOff, s.rows, s.colOff, s.cols, grid.cols, lonInc, latInc, epsg, cp)
+              s.rowOff, s.rows, s.colOff, s.cols, grid.cols, lonInc, latInc, epsg, cp, spec)
           }
         }
       }
@@ -225,7 +231,7 @@ object RasterPipeline {
       // Hadoop FS read: source rasters live on the cluster FS, not on a
       // shared POSIX mount; binaryFile scan paths carry their scheme
       val bytesIn = graft.core.Fs.readAllBytes(path)
-      val (g, _, _) = decodeDem(path, bytesIn, voidMax, smoothRatio, feetSteps)
+      val (g, _, _, _) = decodeDem(path, bytesIn, voidMax, smoothRatio, feetSteps)
       cache.synchronized {
         // re-check under the lock: concurrent misses on the same key would
         // otherwise each add est(g) while put() keeps only one entry,
@@ -265,11 +271,11 @@ object RasterPipeline {
           // checkPoly: OR the polygon-outside mask into (a copy of) the
           // void mask for this tile's window — outside-polygon cells trace
           // like voids, the reference's border-tile semantics
-          val clip = if (tr.checkPoly) effectiveClip(cfg, tr.epsg) else None
+          val clip = if (tr.checkPoly) effectiveClip(cfg, tr.epsg, tr.spec) else None
           val mask: Array[Boolean] =
             if (clip.isDefined) {
               sliceMask(BBox(tr.minLon, tr.minLat, tr.maxLon, tr.maxLat),
-                tr.rows, tr.cols, tr.lonInc, tr.latInc, tr.epsg, clip.get) match {
+                tr.rows, tr.cols, tr.lonInc, tr.latInc, tr.epsg, tr.spec, clip.get) match {
                 case Geometry.Mixed(pm) =>
                   val m = if (g.mask != null) g.mask.clone() else new Array[Boolean](g.values.length)
                   var r = 0
@@ -294,7 +300,7 @@ object RasterPipeline {
           // F10: non-4326 sources trace in native grid space; paths are
           // reprojected to WGS84 before RDP/split (reference order), and
           // the emitted row bbox is the reprojected tile bbox
-          val xf = Crs.toWgs84(tr.epsg)
+          val xf = Crs.toWgs84(tr.epsg, tr.spec)
           val tc = ContourGen.tileContours(gv, bbox, tr.lonInc, tr.latInc, cfg, scratch, xf)
           // envelope, not the strict aligned-rectangle transform: UTM tiles
           // tilt under reprojection and the row bbox is naming metadata
@@ -469,7 +475,7 @@ object RasterPipeline {
       // via ContourRow's reprojected bbox)
       val boxes = ts.collect().map { t =>
         val b = BBox(t.minLon, t.minLat, t.maxLon, t.maxLat)
-        Crs.toWgs84(t.epsg).map(Crs.envelopeBBox(b, _)).getOrElse(b)
+        Crs.toWgs84(t.epsg, t.spec).map(Crs.envelopeBBox(b, _)).getOrElse(b)
       }
       require(boxes.nonEmpty, "no tiles to write")
       val union = TileKeys.areaUnion(boxes.toSeq)

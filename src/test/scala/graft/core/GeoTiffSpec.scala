@@ -450,7 +450,11 @@ class GeoTiffSpec extends AnyFunSuite {
       epsg: Int = 4326,
       pixScale: (Double, Double) = (-1.0, -1.0),
       tiePoint: (Double, Double) = (6.0, 44.0),
-      big: Boolean = false): Array[Byte] = {
+      big: Boolean = false,
+      // user-defined-CRS fixtures: full GeoKey directory (incl. 4-short
+      // header) + the GeoDoubleParams array the DOUBLE keys index into
+      geoKeysOverride: Seq[Int] = null,
+      geoDoubles: Seq[Double] = null): Array[Byte] = {
     def encSeg(segRows: Int, segW: Int, get: (Int, Int) => Float): Array[Byte] = {
       if (bits == 16) {
         val s = Array.tabulate(segRows * segW)(k => get(k / segW, k % segW).toInt.toShort)
@@ -504,7 +508,8 @@ class GeoTiffSpec extends AnyFunSuite {
         (0 until 8).map(i => ((l >> (8 * i)) & 0xff).toByte) }.toArray
     // geographic CRSs key 2048 (GeographicTypeGeoKey), projected 3072
     val geoKeys =
-      if (epsg == 4326) Seq(1, 1, 0, 1, 2048, 0, 1, epsg)
+      if (geoKeysOverride != null) geoKeysOverride
+      else if (epsg == 4326) Seq(1, 1, 0, 1, 2048, 0, 1, epsg)
       else Seq(1, 1, 0, 1, 3072, 0, 1, epsg)
     val (sx, sy) =
       if (pixScale._1 > 0) pixScale else (1.0 / (cols - 1), 1.0 / (rows - 1))
@@ -514,8 +519,11 @@ class GeoTiffSpec extends AnyFunSuite {
       Tag(339, 3, 1, if (bits == 16) 2 else 3),
       Tag(33550, 12, 3, heap = dbl2bytes(Seq(sx, sy, 0))),
       Tag(33922, 12, 6, heap = dbl2bytes(Seq(0, 0, 0, tiePoint._1, tiePoint._2, 0))),
-      Tag(34735, 3, 8, heap = shorts2bytes(geoKeys)),
-      Tag(42113, 2, nodataTag.length, heap = nodataTag.getBytes("US-ASCII")))
+      Tag(34735, 3, geoKeys.length, heap = shorts2bytes(geoKeys))) ++
+      (if (geoDoubles != null)
+        Seq(Tag(34736, 12, geoDoubles.length, heap = dbl2bytes(geoDoubles)))
+      else Nil) ++
+      Seq(Tag(42113, 2, nodataTag.length, heap = nodataTag.getBytes("US-ASCII")))
     def longs8bytes(v: Seq[Long]): Array[Byte] =
       v.flatMap(x => (0 until 8).map(i => ((x >> (8 * i)) & 0xff).toByte)).toArray
     val counts = segs.map(_.length.toLong)
@@ -716,6 +724,101 @@ class GeoTiffSpec extends AnyFunSuite {
         assert(t.grid.mask(k) == expectMasked, s"$name mask @$k")
       }
     }
+  }
+
+  test("user-defined GeoKey CRS (ProjectedCSType 32767) traces identically to its EPSG twin") {
+    assume(available)
+    // the same UTM-32N Toulon grid encoded twice: once with the EPSG code
+    // 32632, once as a user-defined CRS carrying the full TM parameter
+    // GeoKey set (ProjCoordTrans=1, origin/scale/false-offset doubles in
+    // GeoDoubleParams, explicit WGS84 semi-major + inverse flattening).
+    // The spec path must build a bit-identical TransverseMercator, so the
+    // traced contours must match coordinate-for-coordinate.
+    val fwd: (Double, Double) => (Double, Double) =
+      (lo, la) => Crs.wgs84ToUtm(lo, la, 32, north = true)
+    val inv: (Double, Double) => (Double, Double) =
+      (x, y) => Crs.utmToWgs84(x, y, 32, north = true)
+    val (codedPath, _) = projectedToulonTiff("utm_coded", 32632, fwd, inv)
+    val codedBytes = Files.readAllBytes(Paths.get(codedPath))
+    val coded = Tiff.decode(codedBytes)
+    val dbls = Seq(9.0, 0.0, 500000.0, 0.0, 0.9996, 6378137.0, 298.257223563)
+    val keys = Seq(
+      1, 1, 0, 10,
+      1024, 0, 1, 1, // projected model
+      2057, 34736, 1, 5, // semi-major
+      2059, 34736, 1, 6, // inverse flattening
+      3072, 0, 1, 32767, // user-defined
+      3075, 0, 1, 1, // CT_TransverseMercator
+      3080, 34736, 1, 0, // NatOriginLong 9
+      3081, 34736, 1, 1, // NatOriginLat 0
+      3082, 34736, 1, 2, // FalseEasting 500000
+      3083, 34736, 1, 3, // FalseNorthing 0
+      3092, 34736, 1, 4) // ScaleAtNatOrigin 0.9996
+    val userBytes = buildTiff(coded.grid.rows, coded.grid.cols, coded.grid.values,
+      compression = 8, predictor = 2, tiled = false,
+      pixScale = (coded.scaleX, coded.scaleY),
+      tiePoint = (coded.originX, coded.originY),
+      geoKeysOverride = keys, geoDoubles = dbls)
+    val user = Tiff.decode(userBytes)
+    assert(user.epsg == 32767)
+    assert(user.spec ==
+      "tm:a=6378137.0;invf=298.257223563;k0=0.9996;lon0=9.0;lat0=0.0;fe=500000.0;fn=0.0")
+    assert(user.grid.values.sameElements(coded.grid.values) && user.bbox == coded.bbox)
+    // the spec-built transform agrees with the coded one bit-for-bit
+    val toW = Crs.toWgs84(user.epsg, user.spec).get
+    val fromW = Crs.fromWgs84(user.epsg, user.spec).get
+    Seq((350000.0, 4800000.0), (500000.0, 4785000.0), (520000.0, 4810000.0)).foreach {
+      case (x, y) =>
+        assert(toW(x, y) == inv(x, y), s"inverse diverges at ($x,$y)")
+        val (lo, la) = toW(x, y)
+        assert(fromW(lo, la) == fwd(lo, la))
+    }
+    assert(!Crs.axisSeparable(user.epsg, user.spec))
+    val userTmp = Files.createTempFile("utm_user", ".tiff")
+    Files.write(userTmp, userBytes)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("tiff-userdef-twin")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import graft.engine.RasterPipeline
+    val cfg = JobConfig(
+      contourStepSize = 500, maxNodesPerWay = 0, rdpEpsilon = None, maxNodesPerTile = 0,
+      // --area exercises nativeAreaString's spec dispatch (envelope crop
+      // + exact cell mask) on the user-defined side too
+      area = Some("6.25:43.25:6.75:43.75"))
+    def trace(p: String) =
+      RasterPipeline.contours(RasterPipeline.tiles(spark, Seq(p), cfg), cfg)
+        .collect().sortBy(r => (r.elevation, r.pathIdx))
+    val a = trace(codedPath)
+    val b = trace(userTmp.toString)
+    assert(a.nonEmpty && a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.elevation == y.elevation && x.nbNodes == y.nbNodes)
+      assert(x.coords.sameElements(y.coords), s"coords diverge at level ${x.elevation}")
+    }
+  }
+
+  test("user-defined GeoKey CRS refusals are loud and specific") {
+    val shorts = Map(3072 -> 32767, 3075 -> 7) // CT_Mercator: unsupported
+    val e1 = intercept[IllegalArgumentException](Tiff.userDefinedSpec(shorts, Map.empty))
+    assert(e1.getMessage.contains("unsupported ProjCoordTrans code 7"))
+    val e2 = intercept[IllegalArgumentException](
+      Tiff.userDefinedSpec(Map(3072 -> 32767), Map.empty))
+    assert(e2.getMessage.contains("3075"))
+    val e3 = intercept[IllegalArgumentException](
+      Tiff.userDefinedSpec(Map(3072 -> 32767, 3075 -> 1), Map.empty))
+    assert(e3.getMessage.contains("central meridian"))
+    // polar variant A (scale at pole, no standard parallel) refuses
+    val e4 = intercept[IllegalArgumentException](
+      Tiff.userDefinedSpec(Map(3072 -> 32767, 3075 -> 15), Map(3092 -> 0.97, 3094 -> -45.0)))
+    assert(e4.getMessage.contains("standard parallel"))
+    // ellipsoid fallbacks: GRS80 via datum code, Airy via ellipsoid code
+    val grs = Tiff.userDefinedSpec(
+      Map(3072 -> 32767, 3075 -> 10, 2048 -> 4258), Map(3088 -> 10.0, 3089 -> 52.0))
+    assert(grs.contains("invf=298.257222101"))
+    val airy = Tiff.userDefinedSpec(
+      Map(3072 -> 32767, 3075 -> 1, 2056 -> 7001), Map(3080 -> -2.0))
+    assert(airy.contains("a=6377563.396"))
   }
 
   test("mercator transform round-trips") {
