@@ -31,7 +31,17 @@ object Crs {
     * (polar stereographic, LAEA) produce lon0 + atan2-angle, which walks
     * outside the principal range for points more than 180 - |lon0|
     * degrees from the central meridian — e.g. a 3413 grid cell at 150E
-    * would otherwise come back as -210. */
+    * would otherwise come back as -210.
+    *
+    * Convention note: (-180, 180] (the seam itself maps to +180) is pinned
+    * by the round-trip specs, which compare without modulo. It is safe
+    * here because no consumer bins a NORMALIZED longitude into tile keys:
+    * key enumeration derives from user --area strings / .poly files /
+    * filename parsing (PipelineCli -> TileKeys.enumerate), never from an
+    * azimuthal inverse; normalized values only reach traced node coords
+    * and naming-metadata bboxes, where an exact +180 is measure-zero and
+    * well-formed. If a future consumer floors normalized lon into
+    * [-180, 180) keys, wrap +180 to -180 at that consumer. */
   def normalizeLon(lon: Double): Double = {
     var l = lon % 360.0
     if (l <= -180.0) l += 360.0
@@ -795,18 +805,27 @@ object Crs {
     * values), so corners alone under-cover. Conformal projections map
     * extrema of smooth coordinates to the boundary, so edge sampling at
     * this density bounds the residual under-coverage below ~1e-7 deg for
-    * zone-scale tiles — containment-safe for output naming/binning. */
+    * zone-scale tiles. NOTE: that bound is a residual, not zero — the
+    * sampled envelope can still under-cover between samples by up to
+    * ~[[EnvelopeResidualDeg]]. Fine for the current callers (output
+    * naming / metadata bboxes); a caller that needs STRICT containment
+    * must pass `pad = Crs.EnvelopeResidualDeg` (outward pad in output
+    * units) rather than relying on sampling density. */
+  val EnvelopeResidualDeg: Double = 1e-7
+
   def envelopeBBox(
       b: BBox,
       f: (Double, Double) => (Double, Double),
-      samplesPerEdge: Int = 8): BBox = {
+      samplesPerEdge: Int = 8,
+      pad: Double = 0.0): BBox = {
     val k = samplesPerEdge + 1
     val pts = (0 to k).flatMap { i =>
       val tx = b.minLon + (b.maxLon - b.minLon) * i / k
       val ty = b.minLat + (b.maxLat - b.minLat) * i / k
       Seq(f(tx, b.minLat), f(tx, b.maxLat), f(b.minLon, ty), f(b.maxLon, ty))
     }
-    BBox(pts.map(_._1).min, pts.map(_._2).min, pts.map(_._1).max, pts.map(_._2).max)
+    BBox(pts.map(_._1).min - pad, pts.map(_._2).min - pad,
+      pts.map(_._1).max + pad, pts.map(_._2).max + pad)
   }
 
   /** Reproject a packed [lon0,lat0,lon1,lat1,...] WGS84 polygon ring into

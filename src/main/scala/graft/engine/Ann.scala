@@ -153,8 +153,12 @@ object Ann {
     * per-pivot retention fractions MULTIPLY instead of repeating the same
     * cut. A rank-deficient corpus (e.g. data in a 2-D subspace) simply
     * yields fewer pivots than requested, which stays exact. Bounded
-    * driver work: at most 64 rows × dim doubles collected. */
-  private[engine] def orthoPivots(vectors: DataFrame, numPivots: Int): Seq[Array[Double]] = {
+    * driver work: at most 64 rows × dim doubles collected — but it IS a
+    * Spark job per call, so loop callers should compute pivots once and
+    * pass them through the `pivots` parameter of
+    * [[angleBandCandidates]]/[[pairsAngleBanded]]. Public for exactly
+    * that reuse. */
+  def orthoPivots(vectors: DataFrame, numPivots: Int): Seq[Array[Double]] = {
     val rows = vectors
       .filter(sqNorm(col("vec")) > 0)
       .orderBy("vec_id").select("vec").limit(64).collect()
@@ -223,7 +227,12 @@ object Ann {
       vectors: DataFrame, // (vec_id, vec)
       tau: Double,
       bandWidthDeg: Double = 5.0,
-      numPivots: Int = 3): DataFrame = {
+      numPivots: Int = 3,
+      // pass [[orthoPivots]] output to skip the per-call pivot-selection
+      // Spark job when banding the same corpus repeatedly; any fixed
+      // directions are CORRECT (the reverse triangle inequality needs no
+      // orthogonality), orthogonal ones just prune best
+      pivots: Option[Seq[Array[Double]]] = None): DataFrame = {
     require(tau > -1.0 && tau < 1.0 && bandWidthDeg > 0 && numPivots >= 1)
     val spark = vectors.sparkSession
     register(spark)
@@ -240,11 +249,15 @@ object Ann {
     val maxCombos = 81
     val perPivot = 2 * m + 1
     val pBudget = math.max(1, (math.log(maxCombos) / math.log(perPivot.toDouble)).toInt)
-    val pivots = orthoPivots(vectors, math.min(numPivots, pBudget))
-    val p = pivots.length // <= requested on rank-deficient corpora
+    val pvs = pivots.map(_.take(pBudget))
+      .getOrElse(orthoPivots(vectors, math.min(numPivots, pBudget)))
+    require(pvs.nonEmpty, "angleBandCandidates needs at least one pivot")
+    require(pvs.forall(p => p.exists(_ != 0.0)),
+      "angleBandCandidates pivots must be non-zero (cosine would be undefined)")
+    val p = pvs.length // <= requested on rank-deficient corpora
     val nz = vectors
       .filter(sqNorm(col("vec")) > 0)
-      .select(col("vec_id") +: pivots.zipWithIndex.map { case (pv, i) =>
+      .select(col("vec_id") +: pvs.zipWithIndex.map { case (pv, i) =>
         degrees(acos(least(lit(1.0), greatest(lit(-1.0),
           cosine(col("vec"), typedLit(pv.toSeq)))))).as(s"th$i")
       }: _*)
@@ -283,8 +296,9 @@ object Ann {
       vectors: DataFrame, // (vec_id, vec)
       tau: Double,
       bandWidthDeg: Double = 5.0,
-      numPivots: Int = 3): DataFrame = {
-    val cand = angleBandCandidates(vectors, tau, bandWidthDeg, numPivots)
+      numPivots: Int = 3,
+      pivots: Option[Seq[Array[Double]]] = None): DataFrame = {
+    val cand = angleBandCandidates(vectors, tau, bandWidthDeg, numPivots, pivots)
     cand.select("a", "b")
       .join(vectors.select(col("vec_id").as("a"), col("vec").as("va")), Seq("a"))
       .join(vectors.select(col("vec_id").as("b"), col("vec").as("vb")), Seq("b"))

@@ -320,7 +320,15 @@ object RasterPipeline {
   }
 
   /** Per-tile (nodes, ways) counts collected to the driver — tiny: one
-    * row per tile, never raster data. */
+    * row per tile, never raster data. This is the engine's one remaining
+    * O(tiles) driver surface, kept deliberately: the deterministic
+    * prefix sum it feeds (see prefixSum) is the id contract that makes
+    * resume byte-identical, and the map it produces is broadcast to the
+    * writers. Envelope: ~48 B/tile, so 10^7 tiles (a full-planet 100 TB
+    * DEM corpus at 1-degree tiling) is ~0.5 GB driver heap — within a
+    * normal driver. A distributed alternative (window prefix sum over
+    * (key, tileIdx) + join-back) exists if that envelope is ever
+    * exceeded; the union-bbox and lineage paths already run distributed. */
   private def tileCounts(contoursDs: Dataset[ContourRow]): Seq[((String, Int), (Long, Long))] =
     contoursDs
       .groupBy("key", "tileIdx")
@@ -472,13 +480,20 @@ object RasterPipeline {
       val offs = idOffsets(cs, cfg)
       // union in WGS84: DemTileRow bboxes are native-CRS, so reproject
       // non-4326 tiles before the union (the per-tile path does the same
-      // via ContourRow's reprojected bbox)
-      val boxes = ts.collect().map { t =>
+      // via ContourRow's reprojected bbox). The reprojection runs on the
+      // executors and only the 4-double min/max union reaches the driver,
+      // so this stays O(1) driver memory at any tile count.
+      import spark.implicits._
+      val unionRow = ts.map { t =>
         val b = BBox(t.minLon, t.minLat, t.maxLon, t.maxLat)
-        Crs.toWgs84(t.epsg, t.spec).map(Crs.envelopeBBox(b, _)).getOrElse(b)
-      }
-      require(boxes.nonEmpty, "no tiles to write")
-      val union = TileKeys.areaUnion(boxes.toSeq)
+        val w = Crs.toWgs84(t.epsg, t.spec).map(Crs.envelopeBBox(b, _)).getOrElse(b)
+        (w.minLon, w.minLat, w.maxLon, w.maxLat)
+      }.toDF("minLon", "minLat", "maxLon", "maxLat")
+        .agg(min("minLon"), min("minLat"), max("maxLon"), max("maxLat"))
+        .collect()(0)
+      require(!unionRow.isNullAt(0), "no tiles to write")
+      val union = BBox(unionRow.getDouble(0), unionRow.getDouble(1),
+        unionRow.getDouble(2), unionRow.getDouble(3))
       val name = graft.sinks.TileSink.fileName(union, "", format, cfg.outputPrefix.getOrElse(""))
       writeOsmXml(cs, offs, outDir, cfg,
         singleFileName = Some(name), format = format, singleBBox = Some(union))
@@ -504,8 +519,10 @@ object RasterPipeline {
     val committedKeys = committed.map(c => (c.key, c.tileIdx)).toSet
     val bcCommitted = spark.sparkContext.broadcast(committedKeys)
     val tilesAll = tiles(spark, paths, cfg).persist()
-    val allKeys = tilesAll.select("key", "tileIdx").collect()
-      .map(r => (r.getString(0), r.getInt(1)))
+    // count only — the per-tile key list never reaches the driver; the
+    // lineage join below consumes the persisted Dataset directly, so the
+    // driver's footprint is O(commit records), not O(tiles)
+    val tilesTotal = tilesAll.count()
     val todo = tilesAll.filter(t => !bcCommitted.value.contains((t.key, t.tileIdx)))
     val cs = contours(todo, cfg).persist()
     try {
@@ -519,11 +536,12 @@ object RasterPipeline {
       val after = Checkpoint.readCommits(outDir)
       if (after.nonEmpty) {
         after.toDF().write.mode("overwrite").parquet(s"$outDir/_meta/metrics.parquet")
-        val lineage = allKeys.toSeq.toDF("key", "tileIdx")
-          .join(after.toDF().select("key", "tileIdx", "file"), Seq("key", "tileIdx"), "left")
+        val lineage = tilesAll.select("key", "tileIdx")
+          .join(broadcast(after.toDF().select("key", "tileIdx", "file")),
+            Seq("key", "tileIdx"), "left")
         lineage.write.mode("overwrite").parquet(s"$outDir/_meta/lineage.parquet")
       }
-      RunReport(allKeys.length, committedKeys.size, files.size, files)
+      RunReport(tilesTotal.toInt, committedKeys.size, files.size, files)
     } finally {
       cs.unpersist(); tilesAll.unpersist()
     }

@@ -139,6 +139,32 @@ class AnnSpec extends AnyFunSuite {
     assert(b2 == brute(spread2, tau2), "rank-2 corpus, 2 pivots")
   }
 
+  test("precomputed pivots reproduce the per-call pivot selection exactly") {
+    import spark.implicits._
+    Ann.register(spark)
+    // loop callers precompute once (ADVICE: skip the per-call driver
+    // collect); the operator must yield the identical pair set, and a
+    // NON-orthogonal pivot set must stay exact too (orthogonality is a
+    // pruning choice, not a correctness one)
+    val tau = 0.9
+    val width = math.toDegrees(math.acos(tau))
+    val expected = Ann.pairsAngleBanded(vectors, tau, bandWidthDeg = width)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pre = Ann.orthoPivots(vectors, 3)
+    val viaPre = Ann.pairsAngleBanded(vectors, tau, bandWidthDeg = width,
+      pivots = Some(pre))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPre == expected)
+    // skewed (non-orthogonal, non-unit-spread) fixed directions
+    val skewed = Seq(
+      Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0),
+      Array.tabulate(64)(i => if (i <= 1) math.sqrt(0.5) else 0.0))
+    val viaSkew = Ann.pairsAngleBanded(vectors, tau, bandWidthDeg = width,
+      pivots = Some(skewed))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSkew == expected)
+  }
+
   test("angle banding: strong pruning on spread data, graceful degradation on isotropic") {
     import spark.implicits._
     Ann.register(spark)
