@@ -1,12 +1,14 @@
 package graft.core
 
-/** Minimal GeoTIFF decoder for DEM rasters — no GDAL: 16-bit signed
-  * samples in strip OR tile layout, uncompressed / DEFLATE / TIFF-LZW,
-  * with the optional horizontal predictor — the layouts GDAL actually
-  * writes for real-world DEM products (the reference's fixtures are
-  * uncompressed strips; Copernicus/USGS distributions are tiled +
-  * DEFLATE/LZW). Reads the geotransform (ModelPixelScale +
-  * ModelTiepoint) and the CRS EPSG code from the GeoKey directory.
+/** Minimal GeoTIFF decoder for DEM rasters — no GDAL: int16 / int32 /
+  * float32 samples in strip OR tile layout, uncompressed / DEFLATE /
+  * TIFF-LZW / PackBits, with the optional horizontal predictor (2, on
+  * integer samples) and the TechNote3 floating-point predictor (3, on
+  * float32) — the layouts GDAL actually writes for real-world DEM
+  * products (the reference's fixtures are uncompressed strips;
+  * Copernicus/USGS distributions are tiled + DEFLATE/LZW, float
+  * products often PREDICTOR=3). Reads the geotransform (ModelPixelScale
+  * + ModelTiepoint) and the CRS EPSG code from the GeoKey directory.
   *
   * Mirrors the semantics of the reference's GDAL-based loader
   * (/root/reference/pyhgtmap/hgt/file.py:500-555 init_as_geotiff,
@@ -130,14 +132,22 @@ object Tiff {
     val sampleFormat = scalar(339, 1L).toInt
     val samplesPerPixel = scalar(277, 1L).toInt
     val predictor = scalar(317, 1L).toInt
-    require(compression == 1 || compression == 5 || compression == 8 || compression == 32946,
-      s"unsupported TIFF compression $compression (none/LZW/DEFLATE)")
-    require(predictor == 1 || (predictor == 2 && bits == 16),
-      s"unsupported TIFF predictor $predictor for $bits-bit samples")
+    require(
+      compression == 1 || compression == 5 || compression == 8 || compression == 32946 ||
+        compression == 32773,
+      s"unsupported TIFF compression $compression (none/LZW/DEFLATE/PackBits)")
+    // predictor 2 = horizontal differencing on integer samples; predictor 3
+    // = the TechNote3 floating-point predictor (byte-plane shuffle +
+    // byte-wise differencing) GDAL writes for float DEMs as PREDICTOR=3
+    require(
+      predictor == 1 ||
+        (predictor == 2 && (bits == 16 || (bits == 32 && sampleFormat != 3))) ||
+        (predictor == 3 && bits == 32 && sampleFormat == 3),
+      s"unsupported TIFF predictor $predictor for $bits-bit format-$sampleFormat samples")
     require(
       (bits == 16 && (sampleFormat == 1 || sampleFormat == 2)) ||
-        (bits == 32 && sampleFormat == 3),
-      s"unsupported TIFF sample layout: $bits-bit format $sampleFormat (int16 or float32)")
+        (bits == 32 && (sampleFormat == 1 || sampleFormat == 2 || sampleFormat == 3)),
+      s"unsupported TIFF sample layout: $bits-bit format $sampleFormat (int16, int32, or float32)")
     require(samplesPerPixel == 1, s"unsupported samples/pixel $samplesPerPixel")
 
     // GDAL_NODATA (parsed below, needed during the strip decode): cells at
@@ -176,6 +186,35 @@ object Tiff {
         done += n
       }
       inf.end()
+      out
+    }
+
+    // PackBits (compression 32773): runs of [n >= 0: n+1 literal bytes]
+    // and [n in -127..-1: the next byte repeated 1-n times]; -128 is a
+    // no-op. Older USGS distributions still ship this.
+    def unpackBits(off: Int, len: Int, expected: Int): Array[Byte] = {
+      val out = new Array[Byte](expected)
+      var i = off
+      val end = off + len
+      var o = 0
+      while (i < end && o < expected) {
+        val n = bytes(i)
+        i += 1
+        if (n >= 0) {
+          val cnt = n + 1
+          if (i + cnt > end || o + cnt > expected)
+            throw new java.io.IOException("truncated PackBits literal run")
+          System.arraycopy(bytes, i, out, o, cnt)
+          i += cnt; o += cnt
+        } else if (n != -128) {
+          val cnt = 1 - n
+          if (i >= end || o + cnt > expected)
+            throw new java.io.IOException("truncated PackBits repeat run")
+          java.util.Arrays.fill(out, o, o + cnt, bytes(i))
+          i += 1; o += cnt
+        }
+      }
+      if (o < expected) throw new java.io.IOException("short PackBits segment")
       out
     }
 
@@ -248,6 +287,7 @@ object Tiff {
       val data = compression match {
         case 1 => java.util.Arrays.copyOfRange(bytes, off, off + expectedBytes)
         case 5 => lzw(off, segCounts(s).toInt, expectedBytes)
+        case 32773 => unpackBits(off, segCounts(s).toInt, expectedBytes)
         case _ => inflate(off, segCounts(s).toInt, expectedBytes)
       }
       val out = new Array[Float](segRows * segW)
@@ -275,18 +315,74 @@ object Tiff {
         }
         var k2 = 0
         while (k2 < out.length) { out(k2) = shorts(k2).toFloat; k2 += 1 }
-      } else { // float32 (Copernicus-style DEMs)
+      } else if (sampleFormat == 3) { // float32 (Copernicus-style DEMs)
+        if (predictor == 3) {
+          // TechNote3 floating-point predictor, per segment row: the
+          // encoder shuffles each row's floats into big-endian byte
+          // planes (all MSBs, then the next byte, ...) and then
+          // byte-differences the whole row stream. Undo: cumulative-sum
+          // the row bytes, then reassemble pixel k from plane bytes at
+          // p*segW + k, MSB first (plane order is endianness-independent
+          // by spec).
+          val rowBytes = segW * 4
+          var r = 0
+          while (r < segRows) {
+            val base = r * rowBytes
+            var i = 1
+            while (i < rowBytes) {
+              data(base + i) = (data(base + i) + data(base + i - 1)).toByte
+              i += 1
+            }
+            var c = 0
+            while (c < segW) {
+              val v = ((data(base + c) & 0xff) << 24) |
+                ((data(base + segW + c) & 0xff) << 16) |
+                ((data(base + 2 * segW + c) & 0xff) << 8) |
+                (data(base + 3 * segW + c) & 0xff)
+              out(r * segW + c) = java.lang.Float.intBitsToFloat(v)
+              c += 1
+            }
+            r += 1
+          }
+        } else {
+          var k = 0
+          while (k < out.length) {
+            val o = 4 * k
+            val v =
+              if (le) (data(o) & 0xff) | ((data(o + 1) & 0xff) << 8) |
+                ((data(o + 2) & 0xff) << 16) | ((data(o + 3) & 0xff) << 24)
+              else ((data(o) & 0xff) << 24) | ((data(o + 1) & 0xff) << 16) |
+                ((data(o + 2) & 0xff) << 8) | (data(o + 3) & 0xff)
+            out(k) = java.lang.Float.intBitsToFloat(v)
+            k += 1
+          }
+        }
+      } else { // int32 (some lidar-derived national DTMs ship Int32)
+        val ints = new Array[Int](out.length)
         var k = 0
-        while (k < out.length) {
+        while (k < ints.length) {
           val o = 4 * k
-          val v =
+          ints(k) =
             if (le) (data(o) & 0xff) | ((data(o + 1) & 0xff) << 8) |
               ((data(o + 2) & 0xff) << 16) | ((data(o + 3) & 0xff) << 24)
             else ((data(o) & 0xff) << 24) | ((data(o + 1) & 0xff) << 16) |
               ((data(o + 2) & 0xff) << 8) | (data(o + 3) & 0xff)
-          out(k) = java.lang.Float.intBitsToFloat(v)
           k += 1
         }
+        if (predictor == 2) { // horizontal differencing, per segment row
+          var r = 0
+          while (r < segRows) {
+            var c = 1
+            val base = r * segW
+            while (c < segW) {
+              ints(base + c) = ints(base + c) + ints(base + c - 1)
+              c += 1
+            }
+            r += 1
+          }
+        }
+        var k2 = 0
+        while (k2 < out.length) { out(k2) = ints(k2).toFloat; k2 += 1 }
       }
       out
     }

@@ -451,10 +451,14 @@ class GeoTiffSpec extends AnyFunSuite {
       pixScale: (Double, Double) = (-1.0, -1.0),
       tiePoint: (Double, Double) = (6.0, 44.0),
       big: Boolean = false,
+      // -1 derives the GDAL default from bits (16 -> signed int, 32 ->
+      // float); pass 2 with bits=32 for an Int32 fixture
+      sampleFmt: Int = -1,
       // user-defined-CRS fixtures: full GeoKey directory (incl. 4-short
       // header) + the GeoDoubleParams array the DOUBLE keys index into
       geoKeysOverride: Seq[Int] = null,
       geoDoubles: Seq[Double] = null): Array[Byte] = {
+    val fmt = if (sampleFmt != -1) sampleFmt else if (bits == 16) 2 else 3
     def encSeg(segRows: Int, segW: Int, get: (Int, Int) => Float): Array[Byte] = {
       if (bits == 16) {
         val s = Array.tabulate(segRows * segW)(k => get(k / segW, k % segW).toInt.toShort)
@@ -466,14 +470,59 @@ class GeoTiffSpec extends AnyFunSuite {
           b(2 * k) = (s(k) & 0xff).toByte; b(2 * k + 1) = ((s(k) >> 8) & 0xff).toByte
         }
         b
-      } else {
-        val b = new Array[Byte](segRows * segW * 4)
-        for (k <- 0 until segRows * segW) {
-          val v = java.lang.Float.floatToRawIntBits(get(k / segW, k % segW))
-          for (i <- 0 until 4) b(4 * k + i) = ((v >> (8 * i)) & 0xff).toByte
+      } else if (fmt == 3) {
+        if (predictor == 3) {
+          // TechNote3 floating-point predictor, per row: big-endian byte
+          // planes (MSB plane first), then byte-wise differencing over
+          // the whole row stream from the tail
+          val rowBytes = segW * 4
+          val b = new Array[Byte](segRows * rowBytes)
+          for (r <- 0 until segRows) {
+            val base = r * rowBytes
+            for (c <- 0 until segW) {
+              val v = java.lang.Float.floatToRawIntBits(get(r, c))
+              for (p <- 0 until 4)
+                b(base + p * segW + c) = ((v >> (8 * (3 - p))) & 0xff).toByte
+            }
+            for (i <- (rowBytes - 1) to 1 by -1)
+              b(base + i) = (b(base + i) - b(base + i - 1)).toByte
+          }
+          b
+        } else {
+          val b = new Array[Byte](segRows * segW * 4)
+          for (k <- 0 until segRows * segW) {
+            val v = java.lang.Float.floatToRawIntBits(get(k / segW, k % segW))
+            for (i <- 0 until 4) b(4 * k + i) = ((v >> (8 * i)) & 0xff).toByte
+          }
+          b
         }
+      } else { // Int32 samples
+        val s = Array.tabulate(segRows * segW)(k => get(k / segW, k % segW).toInt)
+        if (predictor == 2)
+          for (r <- 0 until segRows; c <- (segW - 1) to 1 by -1)
+            s(r * segW + c) = s(r * segW + c) - s(r * segW + c - 1)
+        val b = new Array[Byte](s.length * 4)
+        for (k <- s.indices; i <- 0 until 4)
+          b(4 * k + i) = ((s(k) >> (8 * i)) & 0xff).toByte
         b
       }
+    }
+    def packBitsEncode(raw: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < raw.length) {
+        var run = 1
+        while (i + run < raw.length && run < 128 && raw(i + run) == raw(i)) run += 1
+        if (run >= 2) {
+          out.write(1 - run); out.write(raw(i)); i += run
+        } else {
+          var lit = 1
+          while (i + lit < raw.length && lit < 128 &&
+            !(i + lit + 1 < raw.length && raw(i + lit) == raw(i + lit + 1))) lit += 1
+          out.write(lit - 1); out.write(raw, i, lit); i += lit
+        }
+      }
+      out.toByteArray
     }
     val rawSegs: Seq[Array[Byte]] =
       if (tiled) {
@@ -494,6 +543,7 @@ class GeoTiffSpec extends AnyFunSuite {
         case 1 => raw
         case 8 => deflate(raw)
         case 5 => lzwEncode(raw)
+        case 32773 => packBitsEncode(raw)
       }
     }
     // ---- assemble little-endian TIFF ----
@@ -516,7 +566,7 @@ class GeoTiffSpec extends AnyFunSuite {
     var tags = Seq(
       Tag(256, 4, 1, cols), Tag(257, 4, 1, rows), Tag(258, 3, 1, bits),
       Tag(259, 3, 1, compression), Tag(277, 3, 1, 1), Tag(317, 3, 1, predictor),
-      Tag(339, 3, 1, if (bits == 16) 2 else 3),
+      Tag(339, 3, 1, fmt),
       Tag(33550, 12, 3, heap = dbl2bytes(Seq(sx, sy, 0))),
       Tag(33922, 12, 6, heap = dbl2bytes(Seq(0, 0, 0, tiePoint._1, tiePoint._2, 0))),
       Tag(34735, 3, geoKeys.length, heap = shorts2bytes(geoKeys))) ++
@@ -624,6 +674,87 @@ class GeoTiffSpec extends AnyFunSuite {
         assert(t.grid.mask(k) == base.grid.mask(k), s"$name: mask diverges at $k")
       }
     }
+  }
+
+  test("PackBits, Int32 samples, and the float32 predictor-3 layouts decode") {
+    val rows = 141; val cols = 133
+    // int16 grid reused for PackBits coverage (runs of nodata compress)
+    val vals = Array.tabulate(rows * cols) { k =>
+      if (k % 997 == 0) -32768f else if (k % 11 < 4) 1200f else ((k * 37) % 4000 - 500).toFloat
+    }
+    val base = Tiff.decode(buildTiff(rows, cols, vals, compression = 1, predictor = 1, tiled = false))
+    Seq(
+      ("strip+packbits", buildTiff(rows, cols, vals, 32773, 1, tiled = false, rps = 37)),
+      ("tiled+packbits", buildTiff(rows, cols, vals, 32773, 1, tiled = true, tw = 33, th = 29))
+    ).foreach { case (name, bytes) =>
+      val t = Tiff.decode(bytes)
+      assert(t.grid.values.sameElements(base.grid.values), s"$name: values diverge")
+      (0 until rows * cols).foreach { k =>
+        assert(t.grid.mask(k) == base.grid.mask(k), s"$name: mask diverges at $k")
+      }
+    }
+
+    // Int32 samples with values outside the int16 range prove real 32-bit
+    // width; predictor 2 now applies to 32-bit integer rows too
+    val ivals = Array.tabulate(rows * cols) { k =>
+      if (k % 701 == 0) -99999f else ((k * 37) % 40000 - 5000).toFloat
+    }
+    Seq(
+      ("int32 strip uncompressed",
+        buildTiff(rows, cols, ivals, 1, 1, tiled = false, bits = 32, sampleFmt = 2,
+          nodataTag = "-99999 ")),
+      ("int32 tiled deflate pred2",
+        buildTiff(rows, cols, ivals, 8, 2, tiled = true, tw = 32, th = 32, bits = 32,
+          sampleFmt = 2, nodataTag = "-99999 ")),
+      ("int32 strip lzw pred2",
+        buildTiff(rows, cols, ivals, 5, 2, tiled = false, rps = 40, bits = 32,
+          sampleFmt = 2, nodataTag = "-99999 "))
+    ).foreach { case (name, bytes) =>
+      val t = Tiff.decode(bytes)
+      (0 until rows * cols).foreach { k =>
+        assert(t.grid.values(k) == ivals(k), s"$name: value diverges at $k")
+        assert(t.grid.mask(k) == (ivals(k) == -99999f), s"$name: mask diverges at $k")
+      }
+    }
+
+    // float32 + PREDICTOR=3 (TechNote3 byte-plane shuffle + differencing)
+    // — the layout GDAL writes for compressed float DEMs; fractional
+    // values + NaN voids exercise all four byte planes
+    val fvals = Array.tabulate(rows * cols) { k =>
+      if (k % 701 == 0) Float.NaN
+      else if (k % 997 == 0) -9999f
+      else ((k * 37) % 3000) / 8f + (if (k % 3 == 0) 0.125f else 0.0625f)
+    }
+    Seq(
+      ("f32 pred3 strip deflate",
+        buildTiff(rows, cols, fvals, 8, 3, tiled = false, rps = 37, bits = 32,
+          nodataTag = "-9999 ")),
+      ("f32 pred3 tiled deflate",
+        buildTiff(rows, cols, fvals, 8, 3, tiled = true, tw = 32, th = 32, bits = 32,
+          nodataTag = "-9999 ")),
+      ("f32 pred3 tiled lzw bigtiff",
+        buildTiff(rows, cols, fvals, 5, 3, tiled = true, tw = 33, th = 29, bits = 32,
+          nodataTag = "-9999 ", big = true))
+    ).foreach { case (name, bytes) =>
+      val t = Tiff.decode(bytes)
+      (0 until rows * cols).foreach { k =>
+        val v = t.grid.values(k)
+        if (fvals(k).isNaN) assert(v.isNaN, s"$name: NaN lost at $k")
+        else assert(v == fvals(k), s"$name: value diverges at $k")
+        assert(t.grid.mask(k) == (fvals(k).isNaN || fvals(k) == -9999f),
+          s"$name: mask diverges at $k")
+      }
+    }
+
+    // unsupported combos refuse loudly, not silently mis-decode
+    val e1 = intercept[IllegalArgumentException] {
+      Tiff.decode(buildTiff(rows, cols, vals, 1, 3, tiled = false)) // pred3 on int16
+    }
+    assert(e1.getMessage.contains("predictor"))
+    val e2 = intercept[IllegalArgumentException] {
+      Tiff.decode(buildTiff(rows, cols, fvals, 1, 2, tiled = false, bits = 32)) // pred2 on float
+    }
+    assert(e2.getMessage.contains("predictor"))
   }
 
   test("BigTIFF (magic 43, 8-byte offsets, LONG8 arrays) decodes identically to classic") {
