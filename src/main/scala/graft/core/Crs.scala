@@ -13,7 +13,9 @@ package graft.core
   * — see grs80UtmFrame), and British National Grid EPSG:27700 (Airy 1830
   * + the published OSGB Helmert datum shift), Lambert conformal
   * conic 2SP (Snyder closed forms) covering Lambert-93 EPSG:2154,
-  * Lambert azimuthal equal-area covering ETRS89-LAEA EPSG:3035, and
+  * Lambert azimuthal equal-area covering ETRS89-LAEA EPSG:3035,
+  * Albers equal-area conic covering NAD83/Conus Albers EPSG:5070 (USGS
+  * 3DEP/NED) and GDA94/Australian Albers EPSG:3577, and
   * polar stereographic covering the ArcticDEM/REMA grids
   * EPSG:3413/3031. These matter because
   * lidar-derived national DEMs ship in national projected grids.
@@ -467,6 +469,95 @@ object Crs {
   val LaeaEurope: LambertAzimuthalEqualArea =
     new LambertAzimuthalEqualArea(Grs80, 52.0, 10.0, 4321000.0, 3210000.0)
 
+  // ------------------------------- Albers equal-area conic (2SP) ---
+  /** Ellipsoidal Albers equal-area conic with two standard parallels —
+    * the projection of the US national grid EPSG:5070 (NAD83 / Conus
+    * Albers, which USGS 3DEP/NED seamless DEMs ship in) and the
+    * Australian EPSG:3577 (GDA94 / Australian Albers, Geoscience
+    * Australia's DEM mosaics). Snyder 1987 closed forms (eqs. 14-1..14-11
+    * forward, 14-8..14-11 + 3-16 inverse) on the same exact-q machinery
+    * as LAEA, with the same Newton authalic→geodetic inverse instead of
+    * the truncated sin-series, so round trips close to machine precision.
+    * Southern-parallel instances (3577) give cone constant n < 0; ρ
+    * carries n's sign and the inverse flips the atan2 operands, the same
+    * signed-ρ treatment as LCC. Equal-area is the anchor property
+    * (CrsAlbersSpec): the forward Jacobian must equal the ellipsoidal
+    * area element everywhere, and the parallel scale must be exactly 1
+    * along BOTH standard parallels — conditions from differential
+    * geometry that share no formula with these forms. */
+  final class AlbersEqualAreaConic(
+      val ell: Ellipsoid,
+      lat0Deg: Double, lon0Deg: Double,
+      lat1Deg: Double, lat2Deg: Double,
+      falseE: Double, falseN: Double) extends Serializable {
+    private val E2 = ell.e2
+    private val E = ell.e
+    private val Lon0 = math.toRadians(lon0Deg)
+    private def q(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1.0 - E2) * (s / (1.0 - E2 * s * s) -
+        (1.0 / (2.0 * E)) * math.log((1.0 - E * s) / (1.0 + E * s)))
+    }
+    private def m(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1.0 - E2 * s * s)
+    }
+    private val Lat1 = math.toRadians(lat1Deg)
+    private val Lat2 = math.toRadians(lat2Deg)
+    private val M1 = m(Lat1)
+    private val N = (M1 * M1 - m(Lat2) * m(Lat2)) / (q(Lat2) - q(Lat1))
+    private val C = M1 * M1 + N * q(Lat1)
+    private def rho(qv: Double): Double =
+      ell.a * math.sqrt(math.max(0.0, C - N * qv)) / N // signed: sign(rho) = sign(N)
+    private val Rho0 = rho(q(math.toRadians(lat0Deg)))
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val r = rho(q(math.toRadians(lat)))
+      val theta = N * (math.toRadians(lon) - Lon0)
+      (falseE + r * math.sin(theta), falseN + Rho0 - r * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - falseE
+      val dy = Rho0 - (y - falseN)
+      val r = math.signum(N) * math.hypot(dx, dy)
+      // for n < 0 both atan2 operands flip sign (Snyder p. 101 note)
+      val theta = if (N >= 0) math.atan2(dx, dy) else math.atan2(-dx, -dy)
+      val lon = theta / N + Lon0
+      val qv = (C - r * r * N * N / (ell.a * ell.a)) / N
+      val Qp = q(math.Pi / 2.0)
+      // Newton on the exact q: solve q(phi) = qv (same scheme as LAEA)
+      val target = math.max(-Qp, math.min(Qp, qv))
+      var phi = math.asin(math.max(-1.0, math.min(1.0, target / Qp)))
+      var i = 0
+      var delta = 1.0
+      while (i < 10 && math.abs(delta) > 1e-16) {
+        val s = math.sin(phi); val d = 1.0 - E2 * s * s
+        val dq = 2.0 * (1.0 - E2) * math.cos(phi) / (d * d)
+        if (dq < 1e-18) { i = 10 } // at the pole cos -> 0; phi is already there
+        else {
+          delta = (q(phi) - target) / dq
+          phi -= delta
+          i += 1
+        }
+      }
+      (normalizeLon(math.toDegrees(lon)), math.toDegrees(phi))
+    }
+  }
+
+  /** EPSG:5070 — NAD83 / Conus Albers (USGS 3DEP/NED seamless grid):
+    * GRS80, parallels 29.5N/45.5N, origin 23N 96W, no false offsets.
+    * NAD83~WGS84 at the ~1 m level — the same documented null-datum
+    * treatment as the 269xx NAD83 UTM zones. */
+  val ConusAlbers5070: AlbersEqualAreaConic =
+    new AlbersEqualAreaConic(Grs80, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
+
+  /** EPSG:3577 — GDA94 / Australian Albers (Geoscience Australia DEM
+    * mosaics): GRS80, parallels 18S/36S (cone constant n < 0), origin
+    * 0N 132E. GDA94~WGS84 null-datum at this accuracy. */
+  val AustralianAlbers3577: AlbersEqualAreaConic =
+    new AlbersEqualAreaConic(Grs80, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0)
+
   // ------------------------------- polar stereographic (variant B) ---
   /** Ellipsoidal polar stereographic with a standard parallel (EPSG
     * "variant B") — the projection of the polar DEM products: ArcticDEM
@@ -578,11 +669,13 @@ object Crs {
     // the same null-datum treatment pyproj applies at this accuracy
     case 2154 => Some(lambert93ToWgs84)
     case 27700 => Some(osgbToWgs84)
+    case 5070 => Some((x, y) => ConusAlbers5070.inverse(x, y))
+    case 3577 => Some((x, y) => AustralianAlbers3577.inverse(x, y))
     case other =>
       throw new IllegalArgumentException(
         s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM, " +
         "258xx ETRS89-UTM, 269xx NAD83-UTM, 3035 LAEA-Europe, 3413/3031 polar stereographic, " +
-        "2193 NZTM, 2154 Lambert-93, 27700 OSGB)")
+        "2193 NZTM, 2154 Lambert-93, 27700 OSGB, 5070/3577 Albers)")
   }
 
   /** Reverse transform (WGS84 -> source CRS), the reference's
@@ -604,11 +697,13 @@ object Crs {
     case 3031 => Some(PolarSouth3031.forward)
     case 2154 => Some(wgs84ToLambert93)
     case 27700 => Some(wgs84ToOsgb)
+    case 5070 => Some((lon, lat) => ConusAlbers5070.forward(lon, lat))
+    case 3577 => Some((lon, lat) => AustralianAlbers3577.forward(lon, lat))
     case other =>
       throw new IllegalArgumentException(
         s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM, " +
         "258xx ETRS89-UTM, 269xx NAD83-UTM, 3035 LAEA-Europe, 3413/3031 polar stereographic, " +
-        "2193 NZTM, 2154 Lambert-93, 27700 OSGB)")
+        "2193 NZTM, 2154 Lambert-93, 27700 OSGB, 5070/3577 Albers)")
   }
 
   // ------------------------- user-defined (GeoKey-parameterized) CRSs ---
@@ -623,6 +718,7 @@ object Crs {
     *   "tm:a=6378137;invf=298.257223563;k0=0.9996;lon0=9;lat0=0;fe=500000;fn=0"
     *   "lcc:a=...;invf=...;lat0=...;lon0=...;lat1=...;lat2=...;fe=...;fn=..."
     *   "laea:a=...;invf=...;lat0=...;lon0=...;fe=...;fn=..."
+    *   "aea:a=...;invf=...;lat0=...;lon0=...;lat1=...;lat2=...;fe=...;fn=..."
     *   "ps:a=...;invf=...;latts=...;lon0=...;fe=...;fn=..."  (latts signed; <0 = south)
     *
     * Datum: treated as WGS84-coincident (GeoKeys carry no transformation
@@ -655,10 +751,12 @@ object Crs {
           need("lat1"), need("lat2"), need("fe"), need("fn"))
         case "laea" => new LambertAzimuthalEqualArea(ell, need("lat0"), need("lon0"),
           need("fe"), need("fn"))
+        case "aea" => new AlbersEqualAreaConic(ell, need("lat0"), need("lon0"),
+          need("lat1"), need("lat2"), need("fe"), need("fn"))
         case "ps" => new PolarStereographic(ell, need("latts"), need("lon0"),
           need("fe"), need("fn"))
         case other => throw new IllegalArgumentException(
-          s"unsupported CRS spec family '$other' (tm/lcc/laea/ps)")
+          s"unsupported CRS spec family '$other' (tm/lcc/laea/aea/ps)")
       }
     })
 
@@ -668,6 +766,7 @@ object Crs {
       case t: TransverseMercator => t.inverse
       case l: LambertConformal2SP => l.inverse
       case a: LambertAzimuthalEqualArea => a.inverse
+      case ac: AlbersEqualAreaConic => ac.inverse
       case p: PolarStereographic => p.inverse
     }
   def specFromWgs84(spec: String): (Double, Double) => (Double, Double) =
@@ -675,6 +774,7 @@ object Crs {
       case t: TransverseMercator => t.forward
       case l: LambertConformal2SP => l.forward
       case a: LambertAzimuthalEqualArea => a.forward
+      case ac: AlbersEqualAreaConic => ac.forward
       case p: PolarStereographic => p.forward
     }
 

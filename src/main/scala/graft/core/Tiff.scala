@@ -501,6 +501,14 @@ object Tiff {
           "lat1" -> need("standard parallel 1 (GeoKey 3078)", 3078),
           "lat2" -> need("standard parallel 2 (GeoKey 3079)", 3079),
           "fe" -> fe, "fn" -> fn))
+      case 11 => // CT_AlbersEqualArea (std parallels 3078/3079)
+        Crs.projSpecString("aea", Seq(
+          "a" -> a, "invf" -> invf,
+          "lat0" -> need("a natural/false-origin latitude", 3081, 3085, 3089),
+          "lon0" -> need("a central meridian", 3080, 3084, 3088),
+          "lat1" -> need("standard parallel 1 (GeoKey 3078)", 3078),
+          "lat2" -> need("standard parallel 2 (GeoKey 3079)", 3079),
+          "fe" -> fe, "fn" -> fn))
       case 10 => // CT_LambertAzimEqualArea (center keys 3088/3089)
         Crs.projSpecString("laea", Seq(
           "a" -> a, "invf" -> invf,
@@ -519,7 +527,7 @@ object Tiff {
       case other => throw new IllegalArgumentException(
         s"user-defined CRS: unsupported ProjCoordTrans code $other " +
           "(supported: TransverseMercator=1, LambertConfConic_2SP=8, " +
-          "LambertAzimEqualArea=10, PolarStereographic=15)")
+          "LambertAzimEqualArea=10, AlbersEqualArea=11, PolarStereographic=15)")
     }
   }
 }

@@ -222,6 +222,16 @@ class GeoTiffSpec extends AnyFunSuite {
       (x, y) => Crs.toWgs84(3035).get(x, y))
   }
 
+  test("Conus Albers 5070 tiff traces contours in WGS84 (equal-area conic e2e)") {
+    assume(available)
+    // synthetic "as-if" 5070 over the Toulon window (real 5070 tiles carry
+    // US terrain): proves the Albers family dispatch end to end at 102°
+    // from the central meridian — the maximal-rotation regime
+    projectedToulonE2e("albers_toulon", 5070,
+      (lo, la) => Crs.fromWgs84(5070).get(lo, la),
+      (x, y) => Crs.toWgs84(5070).get(x, y))
+  }
+
   test("polar stereographic 3413 tiff traces contours in WGS84 (ArcticDEM grid e2e)") {
     assume(available)
     // Toulon at 43N is far from the 70N true-scale parallel but well
@@ -943,6 +953,18 @@ class GeoTiffSpec extends AnyFunSuite {
     val e4 = intercept[IllegalArgumentException](
       Tiff.userDefinedSpec(Map(3072 -> 32767, 3075 -> 15), Map(3092 -> 0.97, 3094 -> -45.0)))
     assert(e4.getMessage.contains("standard parallel"))
+    // Albers (ct=11) missing a standard parallel refuses with the key name
+    val e5 = intercept[IllegalArgumentException](
+      Tiff.userDefinedSpec(Map(3072 -> 32767, 3075 -> 11),
+        Map(3080 -> -96.0, 3081 -> 23.0, 3078 -> 29.5)))
+    assert(e5.getMessage.contains("3079"))
+    // and fully-parameterized user-defined Albers == the EPSG:5070 instance
+    val aeaSpec = Tiff.userDefinedSpec(
+      Map(3072 -> 32767, 3075 -> 11, 2048 -> 4269), // NAD83 datum -> GRS80
+      Map(3080 -> -96.0, 3081 -> 23.0, 3078 -> 29.5, 3079 -> 45.5))
+    val (ux, uy) = Crs.specFromWgs84(aeaSpec)(-104.99, 39.74)
+    val (cx2, cy2) = Crs.ConusAlbers5070.forward(-104.99, 39.74)
+    assert(ux == cx2 && uy == cy2, s"user-defined aea ($ux,$uy) vs 5070 ($cx2,$cy2)")
     // ellipsoid fallbacks: GRS80 via datum code, Airy via ellipsoid code
     val grs = Tiff.userDefinedSpec(
       Map(3072 -> 32767, 3075 -> 10, 2048 -> 4258), Map(3088 -> 10.0, 3089 -> 52.0))
