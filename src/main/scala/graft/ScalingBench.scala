@@ -90,6 +90,18 @@ object ScalingBench {
 
   def pagesPath(n: Long): String = s"/tmp/graft_pages_$n"
 
+  /** Pair validity: the engine cannot scale super-linearly on a fixed
+    * host, so a raw pair efficiency > 1.0 PROVES the hypervisor quota
+    * moved between the pair's lo and hi windows; likewise an adjacent
+    * ALU-burn ratio far from the ideal cores ratio (±20%) means the
+    * calibration itself straddled a quota step. Only pairs passing both
+    * checks may headline — and invalid pairs are excluded in BOTH
+    * directions (a storm-window 0.72 is no more a failure than a 1.08 is
+    * a pass). Round 6's storm window (burn ratios 1.76x–7.35x of 4x,
+    * three super-linear pairs) is the motivating case — see BENCH.md. */
+  def pairValid(effRaw: Double, calRatio: Double, ideal: Double): Boolean =
+    effRaw <= 1.0 && calRatio >= 0.8 * ideal && calRatio <= 1.2 * ideal
+
   /** One-time setup (not measured): materialize the pages table. */
   def ensurePagesTable(n: Long): Unit = {
     if (graft.core.Fs.exists(s"${pagesPath(n)}/_SUCCESS")) return
@@ -271,7 +283,16 @@ object ScalingBench {
         f"pair: lo=${l.wallSec}%.1f s hi=${h.wallSec}%.1f s eff=$e%.2f " +
           f"(host ceilings: cpu ${cal}%.2fx, memory-bandwidth ${mem}%.2fx of ${hi / lo}x)")
     }
-    val (rLo, rHi, rCal, rMem) = pairs.maxBy { case (l, h, _, _) => l.wallSec / h.wallSec }
+    val ideal = hi.toDouble / lo
+    def pairEff(p: (Result, Result, Double, Double)): Double =
+      (p._1.wallSec / p._2.wallSec) / ideal
+    def validPair(p: (Result, Result, Double, Double)): Boolean =
+      pairValid(pairEff(p), p._3, ideal)
+    val valid = pairs.filter(validPair)
+    val windowInvalid = valid.isEmpty
+    val (rLo, rHi, rCal, rMem) =
+      (if (windowInvalid) pairs else valid)
+        .maxBy { case (l, h, _, _) => l.wallSec / h.wallSec }
     val speedup = rLo.wallSec / rHi.wallSec
     val eff = speedup / (hi.toDouble / lo)
     val sb = new StringBuilder
@@ -280,9 +301,10 @@ object ScalingBench {
     sb.append("are measured adjacently and the best raw pair is the headline):\n\n")
     sb.append("| pair | lo wall (s) | hi wall (s) | raw eff | host ALU ceiling | host mem-bw ceiling |\n")
     sb.append("|---|---|---|---|---|---|\n")
-    pairs.zipWithIndex.foreach { case ((l, h, c, m), i) =>
-      val e = (l.wallSec / h.wallSec) / (hi.toDouble / lo)
-      sb.append(f"| ${i + 1} | ${l.wallSec}%.1f | ${h.wallSec}%.1f | $e%.2f | $c%.2fx of ${hi / lo}x | $m%.2fx of ${hi / lo}x |\n")
+    pairs.zipWithIndex.foreach { case (p @ (l, h, c, m), i) =>
+      val e = pairEff(p)
+      val mark = if (validPair(p)) "" else " (drift-invalid)"
+      sb.append(f"| ${i + 1} | ${l.wallSec}%.1f | ${h.wallSec}%.1f | $e%.2f$mark | $c%.2fx of ${hi / lo}x | $m%.2fx of ${hi / lo}x |\n")
     }
     sb.append("\n")
     sb.append("| cores | wall (s) | trace (s) | polys (s) | pages+join (s) | pages | pages/sec | contour nodes | nodes/sec | join rows |\n")
@@ -291,7 +313,13 @@ object ScalingBench {
       sb.append(f"| ${r.cores} | ${r.wallSec}%.1f | ${r.traceSec}%.1f | ${r.polysSec}%.1f | ${r.joinSec}%.1f | ${r.pages} | ${r.pagesPerSec}%.0f | ${r.nodes} | ${r.nodesPerSec}%.0f | ${r.joinRows} |\n")
     }
     sb.append(f"\nspeedup ${lo}->${hi} cores: $speedup%.2fx of ${hi / lo}x ideal; ")
-    sb.append(f"**scaling efficiency = $eff%.2f** (target >= 0.8)\n")
+    if (windowInvalid)
+      sb.append(f"raw best-pair efficiency = $eff%.2f — **window DRIFT-INVALIDATED, " +
+        "no valid pair** (every pair super-linear or burn-ratio-flagged); " +
+        "the canonical headline is the latest valid-window run in the " +
+        "repeatability ledger below (target >= 0.8)\n")
+    else
+      sb.append(f"**scaling efficiency = $eff%.2f** (target >= 0.8; best of ${valid.size} valid pairs)\n")
     sb.append(f"per phase: trace ${rLo.traceSec / rHi.traceSec}%.2fx (ALU-bound), ")
     sb.append(f"polys ${rLo.polysSec / rHi.polysSec}%.2fx, ")
     sb.append(f"pages+join ${rLo.joinSec / rHi.joinSec}%.2fx (scan/shuffle, memory-bound)\n\n")
