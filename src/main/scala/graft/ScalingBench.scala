@@ -298,7 +298,9 @@ object ScalingBench {
     val sb = new StringBuilder
     sb.append(s"## Scaling run (local[$lo] vs local[$hi], same input)\n\n")
     sb.append(s"All ${pairs.size} back-to-back pairs (the hypervisor quota drifts, so pairs\n")
-    sb.append("are measured adjacently and the best raw pair is the headline):\n\n")
+    sb.append("are measured adjacently and the best VALID pair is the headline —\n")
+    sb.append("validity: raw eff <= 1.0 and adjacent ALU-burn ratio within 20% of\n")
+    sb.append("the cores ratio; invalid pairs are excluded in both directions):\n\n")
     sb.append("| pair | lo wall (s) | hi wall (s) | raw eff | host ALU ceiling | host mem-bw ceiling |\n")
     sb.append("|---|---|---|---|---|---|\n")
     pairs.zipWithIndex.foreach { case (p @ (l, h, c, m), i) =>
