@@ -43,6 +43,21 @@ object SkewBench {
         rows += ((e.stageId, m.executorRunTime, m.shuffleReadMetrics.recordsRead))
     }
     def clear(): Unit = synchronized { rows.clear() }
+    private def size(): Int = synchronized { rows.size }
+    /** The listener bus is ASYNC: count() returns when the job completes,
+      * while TaskEnd events may still be draining. Reading immediately can
+      * miss the join stage's largest straggler (the exact number this
+      * bench reports), and events landing after clear() would leak into
+      * the NEXT variant's stats. Poll until the event stream goes quiet. */
+    def quiesce(): Unit = {
+      var prev = -1
+      var cur = size()
+      var waited = 0
+      while (cur != prev && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        prev = cur; cur = size()
+      }
+    }
     /** Task distribution of the JOIN stage — the stage reading the most
       * shuffle records in total; its balance is what the salt exists to
       * fix. The broadcast variant has no meaningful shuffle stage (which
@@ -108,13 +123,17 @@ object SkewBench {
 
   def measure(spark: SparkSession, stats: TaskStats, name: String,
       reps: Int, mk: () => DataFrame): Run = {
+    require(reps >= 1, s"SPARK_GRAFT_SKEW_REPS must be >= 1 (got $reps): " +
+      "the first rep is a discarded warm-up, so 0 measured reps returns nothing")
     var best: Run = null
     var i = 0
     while (i < reps + 1) { // first rep = JIT/codegen warm-up, discarded
+      stats.quiesce() // drain stragglers from the PREVIOUS variant first
       stats.clear()
       val t0 = System.nanoTime()
       val n = mk().count()
       val wall = (System.nanoTime() - t0) / 1e9
+      stats.quiesce() // the async bus may still be delivering this job's TaskEnds
       val (maxR, medR, maxD, medD, tasks) = stats.joinStage()
       val r = Run(name, wall, n, maxR, medR, maxD, medD, tasks)
       if (i > 0 && (best == null || r.wallSec < best.wallSec)) best = r

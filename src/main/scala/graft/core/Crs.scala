@@ -574,11 +574,21 @@ object Crs {
     * parallel is exactly 1 (true-scale property, checked against
     * numerically integrated ground distance), and the Jacobian is a
     * scaled rotation everywhere (conformality). */
+  /** Snyder polar stereographic, both EPSG variants sharing one core:
+    * rho = a * Coef * t(phi). Variant B (latTsDeg below the pole) sets
+    * Coef = m(ts)/t(ts) — scale exactly 1 along the standard parallel
+    * (EPSG 9829; 3413/3031). Variant A (k0Pole defined) sets
+    * Coef = 2*k0/sqrt((1+e)^(1+e)*(1-e)^(1-e)) — scale k0 AT the pole
+    * (EPSG 9810; UPS 5041/5042 and GeoKey files carrying
+    * ProjScaleAtNatOrigin with NatOriginLat = ±90, where the variant-B
+    * form degenerates to 0/0). latTsDeg's sign carries the aspect in
+    * both variants (variant A passes ±90). */
   final class PolarStereographic(
       val ell: Ellipsoid,
       latTsDeg: Double, // standard parallel (signed; negative = south aspect)
       lon0Deg: Double,
-      falseE: Double, falseN: Double) extends Serializable {
+      falseE: Double, falseN: Double,
+      k0Pole: Option[Double] = None) extends Serializable {
     private val E = ell.e
     private val E2 = ell.e2
     private val South = latTsDeg < 0
@@ -588,14 +598,25 @@ object Crs {
       math.tan(math.Pi / 4.0 - phi / 2.0) /
         math.pow((1.0 - E * s) / (1.0 + E * s), E / 2.0)
     }
-    private val PhiTs = math.toRadians(math.abs(latTsDeg))
-    private val MTs = { val s = math.sin(PhiTs); math.cos(PhiTs) / math.sqrt(1.0 - E2 * s * s) }
-    private val TTs = t(PhiTs)
+    private val Coef = k0Pole match {
+      case Some(k0) =>
+        require(k0 > 0, s"polar stereographic variant A: k0 $k0 must be positive")
+        2.0 * k0 / math.sqrt(math.pow(1.0 + E, 1.0 + E) * math.pow(1.0 - E, 1.0 - E))
+      case None =>
+        val phiTs = math.toRadians(math.abs(latTsDeg))
+        val s = math.sin(phiTs)
+        val mTs = math.cos(phiTs) / math.sqrt(1.0 - E2 * s * s)
+        require(mTs > 1e-12,
+          s"polar stereographic variant B: standard parallel $latTsDeg is at the pole " +
+            "(m(ts) = 0, the form degenerates to 0/0) — a scale-at-pole file is " +
+            "variant A; construct with k0Pole instead")
+        mTs / t(phiTs)
+    }
 
     def forward(lon: Double, lat: Double): (Double, Double) = {
       val lam0 = math.toRadians(lon) - Lon0
       val phi0 = if (South) -math.toRadians(lat) else math.toRadians(lat)
-      val rho = ell.a * MTs * t(phi0) / TTs
+      val rho = ell.a * Coef * t(phi0)
       val x = rho * math.sin(lam0)
       val y = -rho * math.cos(lam0)
       (falseE + x, falseN + (if (South) -y else y))
@@ -607,7 +628,7 @@ object Crs {
       val dy = if (South) -dyRaw else dyRaw
       val rho = math.hypot(dx, dy)
       if (rho < 1e-12) return (lon0Deg, if (South) -90.0 else 90.0) // pole: lon arbitrary
-      val tP = rho * TTs / (ell.a * MTs)
+      val tP = rho / (ell.a * Coef)
       val lam = math.atan2(dx, -dy)
       var phi = math.Pi / 2.0 - 2.0 * math.atan(tP)
       var i = 0
@@ -719,7 +740,8 @@ object Crs {
     *   "lcc:a=...;invf=...;lat0=...;lon0=...;lat1=...;lat2=...;fe=...;fn=..."
     *   "laea:a=...;invf=...;lat0=...;lon0=...;fe=...;fn=..."
     *   "aea:a=...;invf=...;lat0=...;lon0=...;lat1=...;lat2=...;fe=...;fn=..."
-    *   "ps:a=...;invf=...;latts=...;lon0=...;fe=...;fn=..."  (latts signed; <0 = south)
+    *   "ps:a=...;invf=...;latts=...;lon0=...;fe=...;fn=..."  (variant B; latts signed; <0 = south)
+    *   "ps:a=...;invf=...;k0=...;lat0=...;lon0=...;fe=...;fn=..."  (variant A: scale k0 at the pole, lat0 = +-90 carries the aspect — UPS-style)
     *
     * Datum: treated as WGS84-coincident (GeoKeys carry no transformation
     * parameters; this is pyproj's behavior for +towgs84-less definitions
@@ -753,8 +775,13 @@ object Crs {
           need("fe"), need("fn"))
         case "aea" => new AlbersEqualAreaConic(ell, need("lat0"), need("lon0"),
           need("lat1"), need("lat2"), need("fe"), need("fn"))
-        case "ps" => new PolarStereographic(ell, need("latts"), need("lon0"),
-          need("fe"), need("fn"))
+        case "ps" => kv.get("k0") match {
+          case Some(k0) => // variant A: scale at the pole; lat0 = +-90 carries the aspect
+            new PolarStereographic(ell, need("lat0"), need("lon0"),
+              need("fe"), need("fn"), Some(k0))
+          case None => new PolarStereographic(ell, need("latts"), need("lon0"),
+            need("fe"), need("fn"))
+        }
         case other => throw new IllegalArgumentException(
           s"unsupported CRS spec family '$other' (tm/lcc/laea/aea/ps)")
       }

@@ -203,6 +203,12 @@ object Wav {
     while (pos + 8 <= bytes.length && samples == null) {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val len = bb.getInt(pos + 4)
+      // a negative (unsigned >2^31) or over-long chunk length would stall
+      // the walk (pos += 8 + len advancing by <= 0) or read out of
+      // bounds — refuse loudly; this decode runs inside executor tasks,
+      // where an infinite loop is a hung job, not an exception
+      require(len >= 0 && pos + 8 + len <= bytes.length,
+        s"corrupt WAV: chunk '$id' length $len at offset $pos exceeds ${bytes.length}-byte payload")
       id match {
         case "fmt " =>
           require(bb.getShort(pos + 8) == 1, "non-PCM WAV unsupported")

@@ -79,9 +79,18 @@ object Tiff {
       s"BigTIFF: unsupported offset size ${u16(4)}")
     val inlineCap = if (big) 8 else 4 // value bytes stored inside the entry
     def uOff(off: Int): Long = if (big) u64(off) else u32(off)
+    // this decoder reads the WHOLE file into one Array[Byte], so any
+    // offset beyond the array (in particular a BigTIFF 8-byte offset
+    // past 2 GiB) must refuse loudly, not alias through .toInt
+    def offInt(v: Long, what: String): Int = {
+      require(v >= 0 && v <= bytes.length,
+        s"TIFF $what $v outside the file (${bytes.length} bytes); " +
+          "offsets past 2 GiB need a streaming reader, not the byte-array path")
+      v.toInt
+    }
 
     final case class Entry(typ: Int, count: Long, valOff: Int)
-    val ifdOff = (if (big) u64(8) else u32(4)).toInt
+    val ifdOff = offInt(if (big) u64(8) else u32(4), "IFD offset")
     val nEntries = (if (big) u64(ifdOff) else u16(ifdOff).toLong).toInt
     val tags = scala.collection.mutable.Map.empty[Int, Entry]
     var i = 0
@@ -102,7 +111,7 @@ object Tiff {
       case None => Array.empty
       case Some(Entry(t, c, vo)) =>
         val sz = typeSize(t)
-        val base = if (sz * c <= inlineCap) vo else uOff(vo).toInt
+        val base = if (sz * c <= inlineCap) vo else offInt(uOff(vo), s"tag-$tag value offset")
         Array.tabulate(c.toInt) { k =>
           val off = base + k * sz
           if (sz == 2) u16(off).toLong else if (sz == 8) u64(off) else u32(off)
@@ -112,13 +121,13 @@ object Tiff {
       case None => Array.empty
       case Some(Entry(t, c, vo)) =>
         require(t == 12, s"tag $tag: expected DOUBLE, got type $t")
-        val base = if (8 * c <= inlineCap) vo else uOff(vo).toInt
+        val base = if (8 * c <= inlineCap) vo else offInt(uOff(vo), s"tag-$tag value offset")
         Array.tabulate(c.toInt)(k => f64(base + k * 8))
     }
     def ascii(tag: Int): String = tags.get(tag) match {
       case None => ""
       case Some(Entry(_, c, vo)) =>
-        val base = if (c <= inlineCap) vo else uOff(vo).toInt
+        val base = if (c <= inlineCap) vo else offInt(uOff(vo), s"tag-$tag value offset")
         new String(bytes, base, c.toInt, "US-ASCII").takeWhile(_ != 0)
     }
     def scalar(tag: Int, default: Long = -1L): Long = {
@@ -283,12 +292,12 @@ object Tiff {
     def segFloats(s: Int, segRows: Int): Array[Float] = {
       val bps = bits / 8
       val expectedBytes = segRows * segW * bps
-      val off = segOffsets(s).toInt
+      val off = offInt(segOffsets(s), s"segment-$s data offset")
       val data = compression match {
         case 1 => java.util.Arrays.copyOfRange(bytes, off, off + expectedBytes)
-        case 5 => lzw(off, segCounts(s).toInt, expectedBytes)
-        case 32773 => unpackBits(off, segCounts(s).toInt, expectedBytes)
-        case _ => inflate(off, segCounts(s).toInt, expectedBytes)
+        case 5 => lzw(off, offInt(segCounts(s), s"segment-$s byte count"), expectedBytes)
+        case 32773 => unpackBits(off, offInt(segCounts(s), s"segment-$s byte count"), expectedBytes)
+        case _ => inflate(off, offInt(segCounts(s), s"segment-$s byte count"), expectedBytes)
       }
       val out = new Array[Float](segRows * segW)
       if (bits == 16) {
@@ -486,10 +495,11 @@ object Tiff {
     val fe = d(3086, 3082).getOrElse(0.0) // FalseOriginEasting | FalseEasting
     val fn = d(3087, 3083).getOrElse(0.0)
     ct match {
-      case 1 => // CT_TransverseMercator
+      case 1 => // CT_TransverseMercator (3093 = ScaleAtCenter, the
+        // center-key family's spelling of 3092 ScaleAtNatOrigin)
         Crs.projSpecString("tm", Seq(
           "a" -> a, "invf" -> invf,
-          "k0" -> d(3092).getOrElse(1.0),
+          "k0" -> d(3092, 3093).getOrElse(1.0),
           "lon0" -> need("a central meridian", 3080, 3088),
           "lat0" -> d(3081, 3089).getOrElse(0.0),
           "fe" -> fe, "fn" -> fn))
@@ -515,15 +525,29 @@ object Tiff {
           "lat0" -> need("a projection-center latitude", 3089, 3081),
           "lon0" -> need("a projection-center longitude", 3088, 3080),
           "fe" -> fe, "fn" -> fn))
-      case 15 => // CT_PolarStereographic, variant B: NatOriginLat is the
+      case 15 => // CT_PolarStereographic. Variant B: NatOriginLat is the
         // standard parallel (signed; < 0 = south aspect) and
-        // StraightVertPoleLong the central meridian. Variant A (scale at
-        // the pole, no standard parallel) refuses via `need` below.
-        Crs.projSpecString("ps", Seq(
-          "a" -> a, "invf" -> invf,
-          "latts" -> need("a standard parallel", 3081, 3078),
-          "lon0" -> need("a central meridian", 3094, 3088, 3080),
-          "fe" -> fe, "fn" -> fn))
+        // StraightVertPoleLong the central meridian. A NatOriginLat AT
+        // the pole is variant A (scale k0 at the pole via 3092, the
+        // UPS/libgeotiff shape) — the variant-B form degenerates to 0/0
+        // there, so it dispatches on the pole test, not on key presence.
+        val latOrigin = need("a standard parallel / natural-origin latitude", 3081, 3078)
+        val lon0 = need("a central meridian", 3094, 3088, 3080)
+        if (math.abs(latOrigin) < 90.0 - 1e-9)
+          Crs.projSpecString("ps", Seq(
+            "a" -> a, "invf" -> invf,
+            "latts" -> latOrigin,
+            "lon0" -> lon0,
+            "fe" -> fe, "fn" -> fn))
+        else
+          Crs.projSpecString("ps", Seq(
+            "a" -> a, "invf" -> invf,
+            "k0" -> d(3092, 3093).getOrElse(throw new IllegalArgumentException(
+              "user-defined polar stereographic with NatOriginLat at the pole is " +
+                "variant A and needs ProjScaleAtNatOrigin (GeoKey 3092)")),
+            "lat0" -> latOrigin, // +-90: carries the aspect
+            "lon0" -> lon0,
+            "fe" -> fe, "fn" -> fn))
       case other => throw new IllegalArgumentException(
         s"user-defined CRS: unsupported ProjCoordTrans code $other " +
           "(supported: TransverseMercator=1, LambertConfConic_2SP=8, " +

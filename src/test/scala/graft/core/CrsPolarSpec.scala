@@ -117,4 +117,82 @@ class CrsPolarSpec extends AnyFunSuite {
     assert(math.abs(lo3 - 45.0) < 1e-10 && math.abs(la3 + 77.0) < 1e-10)
     assert(!Crs.axisSeparable(3413) && !Crs.axisSeparable(3031))
   }
+
+  // ----------------------------------- variant A (scale at the pole) ---
+
+  test("variant A (UPS): scale is 1 at the PUBLISHED true-scale parallel 81°06'52.3\"") {
+    // UPS North (EPSG:5041 shape): k0 = 0.994 at the pole, FE = FN = 2e6.
+    // DMA TM 8358.2 publishes that UPS scale is true at about
+    // 81°06'52.3" N — a constant the variant-A coefficient formula
+    // (2 k0 / sqrt((1+e)^(1+e)(1-e)^(1-e))) does not contain, so this is
+    // an independent anchor: a coefficient missing the sqrt term is off
+    // by ~0.3%, three orders above the tolerance.
+    val ups = new Crs.PolarStereographic(Crs.Wgs84, 90.0, 0.0, 2000000.0, 2000000.0, Some(0.994))
+    val latTrue = 81.0 + 6.0 / 60.0 + 52.3 / 3600.0
+    val h = 1e-4
+    val (xa, ya) = ups.forward(10.0 - h, latTrue)
+    val (xb, yb) = ups.forward(10.0 + h, latTrue)
+    val k = math.hypot(xb - xa, yb - ya) / (pRad(latTrue) * math.toRadians(2 * h))
+    assert(math.abs(k - 1.0) < 2e-5, s"UPS parallel scale at $latTrue: $k")
+    // and k0 itself holds near the pole (parallel scale -> k0 as phi -> 90)
+    val (xc, yc) = ups.forward(10.0 - h, 89.999)
+    val (xd, yd) = ups.forward(10.0 + h, 89.999)
+    val kPole = math.hypot(xd - xc, yd - yc) / (pRad(89.999) * math.toRadians(2 * h))
+    assert(math.abs(kPole - 0.994) < 1e-6, s"UPS scale at the pole: $kPole")
+  }
+
+  test("variant A: pole maps to the false origin; aspects mirror; round-trip closes") {
+    val upsN = new Crs.PolarStereographic(Crs.Wgs84, 90.0, 0.0, 2000000.0, 2000000.0, Some(0.994))
+    val upsS = new Crs.PolarStereographic(Crs.Wgs84, -90.0, 0.0, 2000000.0, 2000000.0, Some(0.994))
+    val (x0, y0) = upsN.forward(37.0, 90.0)
+    assert(math.abs(x0 - 2e6) < 1e-6 && math.abs(y0 - 2e6) < 1e-6)
+    // south aspect mirrors northing about FN and keeps easting (EPSG:5042
+    // vs 5041 symmetry: E = rho sin(lam - lam0) in both aspects)
+    for ((lon, lat) <- Seq((0.0, 84.0), (77.0, 88.5), (-130.0, 82.0))) {
+      val (xn, yn) = upsN.forward(lon, lat)
+      val (xs2, ys2) = upsS.forward(lon, -lat)
+      assert(math.abs(xn - xs2) < 1e-9, s"easting asymmetry at ($lon,$lat)")
+      assert(math.abs((yn - 2e6) + (ys2 - 2e6)) < 1e-9, s"northing mirror at ($lon,$lat)")
+      val (lo2, la2) = upsN.inverse(xn, yn)
+      assert(math.abs(lo2 - lon) < 1e-10 && math.abs(la2 - lat) < 1e-10,
+        s"UPS-N round trip ($lon,$lat) -> ($lo2,$la2)")
+      val (lo3, la3) = upsS.inverse(xs2, ys2)
+      assert(math.abs(lo3 - lon) < 1e-10 && math.abs(la3 + lat) < 1e-10,
+        s"UPS-S round trip ($lon,${-lat}) -> ($lo3,$la3)")
+    }
+  }
+
+  test("variant A: conformality holds (shared-core sanity)") {
+    val ups = new Crs.PolarStereographic(Crs.Wgs84, 90.0, 0.0, 2000000.0, 2000000.0, Some(0.994))
+    val h = 1e-6
+    for ((lon, lat) <- Seq((0.0, 85.0), (120.0, 83.0), (-60.0, 88.0))) {
+      def p(lo: Double, la: Double) = ups.forward(lo, la)
+      val (xE, yE) = p(lon + h, lat); val (xW, yW) = p(lon - h, lat)
+      val (xN, yN) = p(lon, lat + h); val (xS, yS) = p(lon, lat - h)
+      val r = pRad(lat); val m = mRad(lat)
+      val ux = (xE - xW) / (2 * h * math.toRadians(1) * r)
+      val uy = (yE - yW) / (2 * h * math.toRadians(1) * r)
+      val vx = (xN - xS) / (2 * h * math.toRadians(1) * m)
+      val vy = (yN - yS) / (2 * h * math.toRadians(1) * m)
+      val nu = math.hypot(ux, uy); val nv = math.hypot(vx, vy)
+      assert(math.abs(nu / nv - 1.0) < 1e-6, s"anisotropy at ($lon,$lat)")
+      assert(math.abs((ux * vx + uy * vy) / (nu * nv)) < 1e-6, s"shear at ($lon,$lat)")
+    }
+  }
+
+  test("variant B at the pole refuses loudly (the 0/0 degeneracy) and the spec-string k0 form parses") {
+    val e = intercept[IllegalArgumentException](
+      new Crs.PolarStereographic(Crs.Wgs84, 90.0, 0.0, 0.0, 0.0))
+    assert(e.getMessage.contains("variant A"), e.getMessage)
+    // "ps" spec with k0 builds variant A through the spec-string path
+    val spec = Crs.projSpecString("ps", Seq(
+      "a" -> 6378137.0, "invf" -> 298.257223563, "k0" -> 0.994,
+      "lat0" -> 90.0, "lon0" -> 0.0, "fe" -> 2000000.0, "fn" -> 2000000.0))
+    val ups = new Crs.PolarStereographic(Crs.Wgs84, 90.0, 0.0, 2000000.0, 2000000.0, Some(0.994))
+    val (sx, sy) = Crs.specFromWgs84(spec)(45.0, 85.0)
+    val (dx, dy) = ups.forward(45.0, 85.0)
+    assert(sx == dx && sy == dy, s"spec path ($sx,$sy) vs direct ($dx,$dy)")
+    val (lo, la) = Crs.specToWgs84(spec)(sx, sy)
+    assert(math.abs(lo - 45.0) < 1e-10 && math.abs(la - 85.0) < 1e-10)
+  }
 }

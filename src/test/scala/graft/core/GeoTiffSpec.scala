@@ -799,6 +799,16 @@ class GeoTiffSpec extends AnyFunSuite {
       assert(tf.grid.values(k) == fvals(k))
       assert(tf.grid.mask(k) == (fvals(k) == -9999f))
     }
+    // an 8-byte offset beyond the byte array refuses LOUDLY instead of
+    // aliasing through .toInt (a >2 GiB BigTIFF can never fit the
+    // whole-file reader, so garbage reads here were silent corruption)
+    val hostile = buildTiff(rows, cols, vals, 1, 1, tiled = false, big = true)
+    val patched = hostile.clone()
+    // IFD offset lives at bytes 8..15 (LE): plant 2^33
+    java.nio.ByteBuffer.wrap(patched).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putLong(8, 1L << 33)
+    val eBig = intercept[IllegalArgumentException](Tiff.decode(patched))
+    assert(eBig.getMessage.contains("outside the file"), eBig.getMessage)
   }
 
   test("BigTIFF polar-stereographic fixture traces contours identically to its classic twin") {
@@ -949,10 +959,35 @@ class GeoTiffSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](
       Tiff.userDefinedSpec(Map(3072 -> 32767, 3075 -> 1), Map.empty))
     assert(e3.getMessage.contains("central meridian"))
-    // polar variant A (scale at pole, no standard parallel) refuses
+    // polar with NO latitude key at all refuses (aspect unknowable)
     val e4 = intercept[IllegalArgumentException](
       Tiff.userDefinedSpec(Map(3072 -> 32767, 3075 -> 15), Map(3092 -> 0.97, 3094 -> -45.0)))
     assert(e4.getMessage.contains("standard parallel"))
+    // polar variant A: NatOriginLat AT the pole + ScaleAtNatOrigin builds
+    // a k0 instance (UPS/libgeotiff shape) instead of the 0/0 variant-B
+    // degeneracy that previously emitted Infinity coordinates
+    val upsSpec = Tiff.userDefinedSpec(Map(3072 -> 32767, 3075 -> 15),
+      Map(3081 -> 90.0, 3092 -> 0.994, 3094 -> 0.0, 3082 -> 2000000.0, 3083 -> 2000000.0))
+    assert(upsSpec.contains("k0=0.994") && upsSpec.contains("lat0=90"), upsSpec)
+    val (ux5, uy5) = Crs.specFromWgs84(upsSpec)(45.0, 85.0)
+    assert(java.lang.Double.isFinite(ux5) && java.lang.Double.isFinite(uy5))
+    val upsDirect = new Crs.PolarStereographic(Crs.Wgs84, 90.0, 0.0, 2000000.0, 2000000.0, Some(0.994))
+    val (dx5, dy5) = upsDirect.forward(45.0, 85.0)
+    assert(ux5 == dx5 && uy5 == dy5, s"GeoKey UPS ($ux5,$uy5) vs direct ($dx5,$dy5)")
+    // ...but a pole-latitude file WITHOUT the scale key refuses loudly
+    val e4b = intercept[IllegalArgumentException](
+      Tiff.userDefinedSpec(Map(3072 -> 32767, 3075 -> 15),
+        Map(3081 -> 90.0, 3094 -> 0.0)))
+    assert(e4b.getMessage.contains("3092"), e4b.getMessage)
+    // TM written with the center-key family (3088/3089/3093, the
+    // ESRI-style writer) picks up ScaleAtCenter — previously silently 1.0
+    val tmCenter = Tiff.userDefinedSpec(Map(3072 -> 32767, 3075 -> 1),
+      Map(3088 -> 9.0, 3089 -> 0.0, 3093 -> 0.9996, 3082 -> 500000.0))
+    assert(tmCenter.contains("k0=0.9996"), tmCenter)
+    val (tx, ty) = Crs.specFromWgs84(tmCenter)(9.3, 47.0)
+    val (ex, ey) = Crs.fromWgs84(32632).get(9.3, 47.0)
+    assert(math.abs(tx - ex) < 1e-6 && math.abs(ty - ey) < 1e-6,
+      s"center-key TM ($tx,$ty) vs EPSG:32632 ($ex,$ey)")
     // Albers (ct=11) missing a standard parallel refuses with the key name
     val e5 = intercept[IllegalArgumentException](
       Tiff.userDefinedSpec(Map(3072 -> 32767, 3075 -> 11),

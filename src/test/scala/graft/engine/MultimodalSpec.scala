@@ -42,6 +42,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.samples.sameElements(samples))
     assertThrows[IllegalArgumentException](Wav.decode(Array.fill[Byte](60)(7)))
     assertThrows[IllegalArgumentException](Png.decode(Array.fill[Byte](60)(7)))
+    // a negative/unsigned-huge chunk length must refuse loudly, not spin:
+    // pos += 8 + len with len = -8 advances by ZERO, and this decode runs
+    // inside executor tasks where an infinite loop is a hung job
+    val evil = Wav.encode(a).clone()
+    java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, -8) // the fmt chunk's length field
+    val eWav = intercept[IllegalArgumentException](Wav.decode(evil))
+    assert(eWav.getMessage.contains("corrupt WAV"), eWav.getMessage)
+    // and an over-long length (reads past the payload) refuses too
+    val evil2 = Wav.encode(a).clone()
+    java.nio.ByteBuffer.wrap(evil2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, 1 << 20)
+    assert(intercept[IllegalArgumentException](Wav.decode(evil2))
+      .getMessage.contains("corrupt WAV"))
   }
 
   // ------------------------------------------- generated table ---
