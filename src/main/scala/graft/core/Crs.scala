@@ -655,6 +655,16 @@ object Crs {
   val PolarSouth3031: PolarStereographic =
     new PolarStereographic(Wgs84, -71.0, 0.0, 0.0, 0.0)
 
+  /** EPSG:5041 — WGS84 / UPS North (E,N): variant A, k0 = 0.994 at the
+    * pole, 0E down-grid, FE = FN = 2,000,000 (the military/polar-science
+    * grid north of 84N). */
+  val UpsNorth5041: PolarStereographic =
+    new PolarStereographic(Wgs84, 90.0, 0.0, 2000000.0, 2000000.0, Some(0.994))
+
+  /** EPSG:5042 — WGS84 / UPS South (E,N): variant A mirror (south of 80S). */
+  val UpsSouth5042: PolarStereographic =
+    new PolarStereographic(Wgs84, -90.0, 0.0, 2000000.0, 2000000.0, Some(0.994))
+
   /** (x, y) in EPSG:3857 meters -> (lon, lat) degrees. */
   def mercatorToWgs84(x: Double, y: Double): (Double, Double) = {
     val lon = math.toDegrees(x / EarthRadius)
@@ -686,6 +696,8 @@ object Crs {
     case 2193 => Some(Nztm2000.inverse)
     case 3413 => Some(PolarNorth3413.inverse)
     case 3031 => Some(PolarSouth3031.inverse)
+    case 5041 => Some(UpsNorth5041.inverse)
+    case 5042 => Some(UpsSouth5042.inverse)
     // RGF93 (Lambert-93's datum) is coincident with WGS84 at cm level —
     // the same null-datum treatment pyproj applies at this accuracy
     case 2154 => Some(lambert93ToWgs84)
@@ -695,7 +707,7 @@ object Crs {
     case other =>
       throw new IllegalArgumentException(
         s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM, " +
-        "258xx ETRS89-UTM, 269xx NAD83-UTM, 3035 LAEA-Europe, 3413/3031 polar stereographic, " +
+        "258xx ETRS89-UTM, 269xx NAD83-UTM, 3035 LAEA-Europe, 3413/3031 polar stereographic, 5041/5042 UPS, " +
         "2193 NZTM, 2154 Lambert-93, 27700 OSGB, 5070/3577 Albers)")
   }
 
@@ -716,6 +728,8 @@ object Crs {
     case 2193 => Some(Nztm2000.forward)
     case 3413 => Some(PolarNorth3413.forward)
     case 3031 => Some(PolarSouth3031.forward)
+    case 5041 => Some(UpsNorth5041.forward)
+    case 5042 => Some(UpsSouth5042.forward)
     case 2154 => Some(wgs84ToLambert93)
     case 27700 => Some(wgs84ToOsgb)
     case 5070 => Some((lon, lat) => ConusAlbers5070.forward(lon, lat))
@@ -723,7 +737,7 @@ object Crs {
     case other =>
       throw new IllegalArgumentException(
         s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 326xx/327xx UTM, " +
-        "258xx ETRS89-UTM, 269xx NAD83-UTM, 3035 LAEA-Europe, 3413/3031 polar stereographic, " +
+        "258xx ETRS89-UTM, 269xx NAD83-UTM, 3035 LAEA-Europe, 3413/3031 polar stereographic, 5041/5042 UPS, " +
         "2193 NZTM, 2154 Lambert-93, 27700 OSGB, 5070/3577 Albers)")
   }
 

@@ -180,6 +180,18 @@ class CrsPolarSpec extends AnyFunSuite {
     }
   }
 
+  test("EPSG:5041/5042 (UPS) dispatch; not axis-separable") {
+    val (x, y) = Crs.fromWgs84(5041).get(45.0, 87.0)
+    val (dx, dy) = Crs.UpsNorth5041.forward(45.0, 87.0)
+    assert(x == dx && y == dy)
+    val (lo, la) = Crs.toWgs84(5041).get(x, y)
+    assert(math.abs(lo - 45.0) < 1e-10 && math.abs(la - 87.0) < 1e-10)
+    val (xs, ys) = Crs.fromWgs84(5042).get(-120.0, -85.0)
+    val (lo2, la2) = Crs.toWgs84(5042).get(xs, ys)
+    assert(math.abs(lo2 + 120.0) < 1e-10 && math.abs(la2 + 85.0) < 1e-10)
+    assert(!Crs.axisSeparable(5041) && !Crs.axisSeparable(5042))
+  }
+
   test("variant B at the pole refuses loudly (the 0/0 degeneracy) and the spec-string k0 form parses") {
     val e = intercept[IllegalArgumentException](
       new Crs.PolarStereographic(Crs.Wgs84, 90.0, 0.0, 0.0, 0.0))
