@@ -1700,10 +1700,11 @@ object Queries {
            |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin))
 
   /** Pinned projection goldens for q56 (generated from the typed-map run,
-    * quantized to integers — see qCrsProject scaladoc; the LAEA and
-    * Albers (aea, EPSG:5070) columns come from independent Python
-    * transcriptions of the Snyder forms, so Scala-side drift against
-    * them is a real signal). */
+    * quantized to integers — see qCrsProject scaladoc; the LAEA,
+    * Albers (aea, EPSG:5070), and UPS (ups, EPSG:5041 — the polar
+    * stereographic VARIANT-A branch, scale k0 at the pole) columns come
+    * from independent Python transcriptions of the Snyder forms, so
+    * Scala-side drift against them is a real signal). */
   private val CrsProjectOracleSql: String =
     """SELECT CAST(pt_id AS BIGINT) AS pt_id,
       | CAST(utm_e_tmm AS BIGINT) AS utm_e_tmm, CAST(utm_n_tmm AS BIGINT) AS utm_n_tmm,
@@ -1712,21 +1713,22 @@ object Queries {
       | CAST(etrs_e_tmm AS BIGINT) AS etrs_e_tmm, CAST(etrs_n_tmm AS BIGINT) AS etrs_n_tmm,
       | CAST(ps_e_tmm AS BIGINT) AS ps_e_tmm, CAST(ps_n_tmm AS BIGINT) AS ps_n_tmm,
       | CAST(aea_e_tmm AS BIGINT) AS aea_e_tmm, CAST(aea_n_tmm AS BIGINT) AS aea_n_tmm,
+      | CAST(ups_e_tmm AS BIGINT) AS ups_e_tmm, CAST(ups_n_tmm AS BIGINT) AS ups_n_tmm,
       | CAST(rt_err_ndeg AS BIGINT) AS rt_err_ndeg
       |FROM (VALUES
-      | (0, 2572945472, 47706778222, 9462010661, 62214518662, 39959666055, 22244614025, 2572945472, 47706778221, 41818869780, -33840089985, 67679843576, 62554662877, 0),
-      | (1, 2632273841, 47771411725, 9516438441, 62283386094, 40020015455, 22308013918, 2632273841, 47771411724, 41800423523, -33740737096, 67647958770, 62636451251, 0),
-      | (2, 2691493001, 47836092886, 9570746190, 62352296091, 40080254322, 22371474969, 2691493001, 47836092885, 41781823443, -33641501145, 67615995842, 62718169669, 0),
-      | (3, 2750602790, 47900821745, 9624933874, 62421248562, 40140382467, 22434997042, 2750602790, 47900821744, 41763069774, -33542382287, 67583954962, 62799818020, 0),
-      | (4, 2809603046, 47965598338, 9679001462, 62490243418, 40200399700, 22498580003, 2809603046, 47965598337, 41744162750, -33443380676, 67551836300, 62881396195, 0),
-      | (5, 2868493604, 48030422701, 9732948919, 62559280569, 40260305832, 22562223717, 2868493604, 48030422700, 41725102604, -33344496467, 67519640024, 62962904082, 0),
-      | (6, 2927274302, 48095294870, 9786776215, 62628359927, 40320100674, 22625928048, 2927274302, 48095294868, 41705889571, -33245729813, 67487366305, 63044341574, 0),
-      | (7, 2985944975, 48160214878, 9840483315, 62697481401, 40379784037, 22689692860, 2985944975, 48160214876, 41686523885, -33147080867, 67455015313, 63125708560, 0),
-      | (8, 3044505458, 48225182758, 9894070188, 62766644903, 40439355733, 22753518017, 3044505458, 48225182757, 41667005781, -33048549784, 67422587220, 63207004931, 0),
-      | (9, 3102955587, 48290198544, 9947536800, 62835850342, 40498815572, 22817403382, 3102955587, 48290198542, 41647335492, -32950136716, 67390082197, 63288230578, 0),
-      | (10, 3161295195, 48355262264, 10000883118, 62905097631, 40558163367, 22881348817, 3161295195, 48355262263, 41627513253, -32851841817, 67357500415, 63369385393, 0),
-      | (11, 3219524116, 48420373950, 10054109110, 62974386680, 40617398929, 22945354185, 3219524115, 48420373949, 41607539298, -32753665238, 67324842047, 63450469266, 0)
-      |) AS t(pt_id, utm_e_tmm, utm_n_tmm, l93_e_tmm, l93_n_tmm, laea_e_tmm, laea_n_tmm, etrs_e_tmm, etrs_n_tmm, ps_e_tmm, ps_n_tmm, aea_e_tmm, aea_n_tmm, rt_err_ndeg)
+      | (0, 2572945472, 47706778222, 9462010661, 62214518662, 39959666055, 22244614025, 2572945472, 47706778221, 41818869780, -33840089985, 67679843576, 62554662877, 25782286791, -34830665201, 0),
+      | (1, 2632273841, 47771411725, 9516438441, 62283386094, 40020015455, 22308013918, 2632273841, 47771411724, 41800423523, -33740737096, 67647958770, 62636451251, 25840920487, -34745295199, 0),
+      | (2, 2691493001, 47836092886, 9570746190, 62352296091, 40080254322, 22371474969, 2691493001, 47836092885, 41781823443, -33641501145, 67615995842, 62718169669, 25899357960, -34659898467, 0),
+      | (3, 2750602790, 47900821745, 9624933874, 62421248562, 40140382467, 22434997042, 2750602790, 47900821744, 41763069774, -33542382287, 67583954962, 62799818020, 25957599268, -34574475285, 0),
+      | (4, 2809603046, 47965598338, 9679001462, 62490243418, 40200399700, 22498580003, 2809603046, 47965598337, 41744162750, -33443380676, 67551836300, 62881396195, 26015644468, -34489025935, 0),
+      | (5, 2868493604, 48030422701, 9732948919, 62559280569, 40260305832, 22562223717, 2868493604, 48030422700, 41725102604, -33344496467, 67519640024, 62962904082, 26073493618, -34403550699, 0),
+      | (6, 2927274302, 48095294870, 9786776215, 62628359927, 40320100674, 22625928048, 2927274302, 48095294868, 41705889571, -33245729813, 67487366305, 63044341574, 26131146776, -34318049858, 0),
+      | (7, 2985944975, 48160214878, 9840483315, 62697481401, 40379784037, 22689692860, 2985944975, 48160214876, 41686523885, -33147080867, 67455015313, 63125708560, 26188604001, -34232523692, 0),
+      | (8, 3044505458, 48225182758, 9894070188, 62766644903, 40439355733, 22753518017, 3044505458, 48225182757, 41667005781, -33048549784, 67422587220, 63207004931, 26245865351, -34146972483, 0),
+      | (9, 3102955587, 48290198544, 9947536800, 62835850342, 40498815572, 22817403382, 3102955587, 48290198542, 41647335492, -32950136716, 67390082197, 63288230578, 26302930885, -34061396511, 0),
+      | (10, 3161295195, 48355262264, 10000883118, 62905097631, 40558163367, 22881348817, 3161295195, 48355262263, 41627513253, -32851841817, 67357500415, 63369385393, 26359800662, -33975796057, 0),
+      | (11, 3219524116, 48420373950, 10054109110, 62974386680, 40617398929, 22945354185, 3219524115, 48420373949, 41607539298, -32753665238, 67324842047, 63450469266, 26416474742, -33890171402, 0)
+      |) AS t(pt_id, utm_e_tmm, utm_n_tmm, l93_e_tmm, l93_n_tmm, laea_e_tmm, laea_n_tmm, etrs_e_tmm, etrs_n_tmm, ps_e_tmm, ps_n_tmm, aea_e_tmm, aea_n_tmm, ups_e_tmm, ups_n_tmm, rt_err_ndeg)
       |ORDER BY pt_id""".stripMargin
 
   /** Projection-series golden: forward UTM-32N + Lambert-93 coordinates
@@ -1748,26 +1750,31 @@ object Queries {
           val (ee, en) = graft.core.Crs.grs80UtmFrame(32).forward(lon, lat)
           val (pe, pn) = graft.core.Crs.PolarNorth3413.forward(lon, lat)
           val (be, bn) = graft.core.Crs.ConusAlbers5070.forward(lon, lat)
+          val (se, sn) = graft.core.Crs.UpsNorth5041.forward(lon, lat) // variant A branch
           val (ulon, ulat) = graft.core.Crs.utmToWgs84(ue, un, 32, north = true)
           val (llon, llat) = graft.core.Crs.lambert93ToWgs84(le, ln)
           val (alon, alat) = graft.core.Crs.LaeaEurope.inverse(ae, an)
           val (elon, elat) = graft.core.Crs.grs80UtmFrame(32).inverse(ee, en)
           val (plon, plat) = graft.core.Crs.PolarNorth3413.inverse(pe, pn)
           val (blon, blat) = graft.core.Crs.ConusAlbers5070.inverse(be, bn)
+          val (slon, slat) = graft.core.Crs.UpsNorth5041.inverse(se, sn)
           val err = Seq(ulon - lon, ulat - lat, llon - lon, llat - lat,
             alon - lon, alat - lat, elon - lon, elat - lat,
-            plon - lon, plat - lat, blon - lon, blat - lat).map(math.abs).max
+            plon - lon, plat - lat, blon - lon, blat - lat,
+            slon - lon, slat - lat).map(math.abs).max
           (id, math.rint(ue * 10000).toLong, math.rint(un * 10000).toLong,
             math.rint(le * 10000).toLong, math.rint(ln * 10000).toLong,
             math.rint(ae * 10000).toLong, math.rint(an * 10000).toLong,
             math.rint(ee * 10000).toLong, math.rint(en * 10000).toLong,
             math.rint(pe * 10000).toLong, math.rint(pn * 10000).toLong,
             math.rint(be * 10000).toLong, math.rint(bn * 10000).toLong,
+            math.rint(se * 10000).toLong, math.rint(sn * 10000).toLong,
             math.round(err * 1e9))
         }
         .toDF("pt_id", "utm_e_tmm", "utm_n_tmm", "l93_e_tmm", "l93_n_tmm",
           "laea_e_tmm", "laea_n_tmm", "etrs_e_tmm", "etrs_n_tmm",
-          "ps_e_tmm", "ps_n_tmm", "aea_e_tmm", "aea_n_tmm", "rt_err_ndeg")
+          "ps_e_tmm", "ps_n_tmm", "aea_e_tmm", "aea_n_tmm",
+          "ups_e_tmm", "ups_n_tmm", "rt_err_ndeg")
         .orderBy("pt_id")
     },
     Some(CrsProjectOracleSql))
