@@ -27,6 +27,33 @@ object Ann {
   def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     call_function("cosine_sim", a, b)
 
+  /** Cosine from PRECOMPUTED L2 norms: dot(a,b) / (na * nb) is
+    * bit-identical to `cosine(a, b)` when na/nb come from `norm` (same
+    * ascending accumulation, same final multiply-divide — VecOps.norm
+    * scaladoc). Pair stages use this so each PAIR costs one dot product
+    * instead of one dot + two norm folds; norms are computed once per
+    * VECTOR before the pair fan-out (r7, guide §1.2 step 2). */
+  def cosineFromNorms(
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("dot_vec", a, b) / (na * nb)
+
+  /** Codegen'd L2 norm of an array<double> column. */
+  def norm(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("vec_norm", a)
+
+  /** Spread a SMALL scan before a compute-heavy stage (r7, guide §2.5):
+    * a tiny vector table arrives as ONE scan partition, and when the pair
+    * join broadcasts, the entire O(pairs · dim) similarity stage inherits
+    * that single partition — one core does all the flops. Scale-adaptive:
+    * identity whenever the input already carries >= defaultParallelism
+    * partitions (any real-scale table), so no shuffle is ever added at
+    * scale. */
+  private def spreadSmall(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   private def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     call_function("sq_dist_vec", a, b)
 
@@ -127,17 +154,25 @@ object Ann {
       centroids: Seq[(Int, Array[Double])],
       nprobe: Int): DataFrame = {
     register(vectors.sparkSession)
-    val idx = assign(vectors, centroids).toDF("cluster", "a", "va")
+    // r7: each side carries its L2 norm, computed once per VECTOR before
+    // the pair fan-out, so callers can run the per-pair cosine as a single
+    // dot product (cosineFromNorms — bit-identical)
+    // both sides spread: whichever side the planner streams (the other
+    // broadcasts at gate scale), the similarity stage keeps full-width
+    // partitioning instead of the scan's single partition
+    val idx = spreadSmall(assign(vectors, centroids).toDF("cluster", "a", "va"))
+      .withColumn("na", norm(col("va")))
     val sorted = array_sort(transform(
       centroidLit(centroids),
       c => struct(sqDist(col("vb"), c.getField("centroid")).as("d"),
         c.getField("cluster").as("cluster"))))
     val probeClusters = transform(slice(sorted, 1, nprobe), s => s.getField("cluster"))
-    val probes = vectors.toDF("b", "vb")
+    val probes = spreadSmall(vectors.toDF("b", "vb"))
+      .withColumn("nb", norm(col("vb")))
       .withColumn("cluster", explode(probeClusters))
     idx.join(probes, Seq("cluster"))
       .filter(col("a") < col("b"))
-      .select("a", "va", "b", "vb")
+      .select("a", "va", "na", "b", "vb", "nb")
   }
 
   private def sqNorm(v: org.apache.spark.sql.Column) =
@@ -299,10 +334,15 @@ object Ann {
       numPivots: Int = 3,
       pivots: Option[Seq[Array[Double]]] = None): DataFrame = {
     val cand = angleBandCandidates(vectors, tau, bandWidthDeg, numPivots, pivots)
+    // r7: norms ride along from the per-vector fetch, so the per-pair
+    // cosine is ONE dot product (cosineFromNorms — bit-identical to
+    // cosine(va, vb), see VecOps.norm)
     cand.select("a", "b")
-      .join(vectors.select(col("vec_id").as("a"), col("vec").as("va")), Seq("a"))
-      .join(vectors.select(col("vec_id").as("b"), col("vec").as("vb")), Seq("b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .join(vectors.select(col("vec_id").as("a"), col("vec").as("va"),
+        norm(col("vec")).as("__na")), Seq("a"))
+      .join(vectors.select(col("vec_id").as("b"), col("vec").as("vb"),
+        norm(col("vec")).as("__nb")), Seq("b"))
+      .withColumn("cos", cosineFromNorms(col("va"), col("vb"), col("__na"), col("__nb")))
       .filter(col("cos") >= lit(tau))
       .select("a", "va", "b", "vb", "cos")
   }

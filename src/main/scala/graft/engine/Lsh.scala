@@ -29,7 +29,15 @@ object Lsh {
   }
 
   /** MinHash signatures: (idCol, mh0..mh{numHashes-1}) from n-char
-    * rolling-hash shingles of `textCol`. Docs shorter than n are absent. */
+    * rolling-hash shingles of `textCol`. Docs shorter than n are absent.
+    *
+    * r7: one-pass MinHashSig kernel (functions/TextSketch.scala) over the
+    * shingle array — a narrow projection with NO Generate and NO exchange,
+    * where the old explode + numHashes-way min aggregation shipped one row
+    * per corpus character into a hash aggregate (guide §2.3/§2.4). The
+    * pmod(pmod(h, P) * a + b, P) arithmetic is unchanged (the inner pmod
+    * keeps the affine step inside a Long for 31-bit a; LshSpec pins the
+    * values). */
   def signatures(
       docs: DataFrame,
       idCol: String,
@@ -39,16 +47,19 @@ object Lsh {
     val spark = docs.sparkSession
     val fn = s"shingle_hashes_$n"
     graft.functions.ShingleHashes.register(spark, fn, n)
-    val sh = docs
+    val mh = s"lsh_minhash_sig_$numHashes"
+    graft.functions.TextSketch.registerMinHash(
+      spark, mh, (0 until numHashes).map(params), P, preMod = true)
+    // coalesce: non-nullable key columns (sentinel can never fire — the
+    // sig array always holds numHashes minima for rows past the length
+    // filter), so downstream joins infer NO isnotnull key filters; those
+    // filters would inline the whole kernel tree once per key per row
+    // (see Queries.minhashSig, guide §4.4 duplication class)
+    docs
       .filter(length(col(textCol)) >= n)
-      .select(col(idCol), explode(call_function(fn, col(textCol))).as("h"))
-    val aggs = (0 until numHashes).map { j =>
-      val (a, b) = params(j)
-      // reduce h mod P before the affine step: (P-1) * a + b < 2^51 stays
-      // inside a Long under ANSI arithmetic for 31-bit a
-      min(pmod(pmod(col("h"), lit(P)) * lit(a) + lit(b), lit(P))).as(s"mh$j")
-    }
-    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), call_function(mh, call_function(fn, col(textCol))).as("__sig"))
+      .select(col(idCol) +: (0 until numHashes).map(j =>
+        coalesce(element_at(col("__sig"), j + 1), lit(-1L)).as(s"mh$j")): _*)
   }
 
   /** Candidate pairs (doc_a < doc_b) sharing at least one band bucket. */

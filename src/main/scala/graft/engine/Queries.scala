@@ -372,16 +372,19 @@ object Queries {
     (s, dir) => {
       // 100 TB-scale shape: never ship raw document bodies through an
       // exchange. Group on a 256-bit content hash (collision probability
-      // negligible vs corpus size), aggregate, and join the tiny group
-      // table back on the hash. No `text` column appears in any shuffle key.
-      val keyed = t(s, dir, "documents")
+      // negligible vs corpus size). r7: ONE scan and ONE exchange — the
+      // old groupBy + join-back read (and sha2'd) the table twice and
+      // shuffled it twice; a whole-partition window over the same
+      // (tk64, tkey) keys computes min/count without the join
+      // (guide §2.4: two operations keyed the same way share one
+      // exchange). Exchange keys stay content hashes — no `text` column
+      // appears in any shuffle.
+      val w = Window.partitionBy("tk64", "tkey")
+      t(s, dir, "documents")
         .select(col("doc_id"), xxhash64(col("text")).as("tk64"), sha2(col("text"), 256).as("tkey"))
-      val groups = keyed
-        .groupBy("tk64", "tkey")
-        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
-      keyed
-        .join(groups, Seq("tk64", "tkey"))
-        .select("doc_id", "canonical_id", "n_copies")
+        .select(col("doc_id"),
+          min("doc_id").over(w).as("canonical_id"),
+          count(lit(1)).over(w).as("n_copies"))
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
@@ -404,6 +407,51 @@ object Queries {
       .select(col("doc_id"), explode(call_function("shingle_hashes_4", col("text"))).as("h"))
   }
 
+  /** Per-doc shingle-hash ARRAY — no explode: (doc_id, hs). The r7 sketch
+    * kernels (functions/TextSketch.scala) consume the array row-locally,
+    * so the signature/fingerprint queries never ship one-row-per-shingle
+    * through a Generate + aggregation (guide §2.3/§2.4). */
+  private def shingleArr(s: SparkSession, dir: String, n: Int): DataFrame = {
+    val fn = s"shingle_hashes_$n"
+    graft.functions.ShingleHashes.register(s, fn, n)
+    spreadSmall(t(s, dir, "documents").filter(length(col("text")) >= n))
+      .select(col("doc_id"), call_function(fn, col("text")).as("hs"))
+  }
+
+  /** Spread a SMALL scan across the cluster before a compute-heavy narrow
+    * kernel: a tiny input (one parquet file at gate scale) arrives as a
+    * single scan partition, which would serialize the whole kernel on one
+    * core (guide §2.5, input-layout skew — "repartition immediately after
+    * the read"). SCALE-ADAPTIVE, not a local[32] tune: when the scan
+    * already carries >= defaultParallelism partitions (any real-scale
+    * table), this is the identity and no shuffle is ever added. Measured
+    * on q36 at sf0.1 (BenchExtra, same JVM, best-of-5): 1.28 s
+    * single-partition kernel vs 0.43 s spread (r6 explode+agg: 0.84 s). */
+  private def spreadSmall(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** MinHash signature columns (doc_id, mh0..mh3) from n-char shingles via
+    * the one-pass MinHashSig kernel — identical values to the old
+    * explode + groupBy(min...) form (TextSketchSpec pins the equality),
+    * with zero exchanges: the signature becomes a narrow projection. */
+  private def minhashSig(s: SparkSession, dir: String, n: Int): DataFrame = {
+    val fn = s"minhash_sig_q$n"
+    graft.functions.TextSketch.registerMinHash(s, fn, MinhashParams, P, preMod = false)
+    // coalesce makes each key column NON-NULLABLE (the sentinel can never
+    // fire: hs is non-null past the length filter and always holds
+    // |params| minima). Without it the join planner infers isnotnull
+    // filters on the keys and the pushdown INLINES the whole
+    // minhash(shingle(text)) tree once PER KEY into a Filter below the
+    // projection — re-running the kernel 4x per row (measured 0.66 vs
+    // 0.41 s on q22 before this fix; the same duplication class as guide
+    // §4.4's UDF example).
+    shingleArr(s, dir, n)
+      .select(col("doc_id") +: MinhashParams.indices.map(j =>
+        coalesce(element_at(call_function(fn, col("hs")), j + 1), lit(-1L)).as(s"mh$j")): _*)
+  }
+
   private val shinglesSql =
     s"""SELECT doc_id, $shingleSql AS h
        | FROM documents, LATERAL unnest(generate_series(1, length(text) - 3)) AS t(i)
@@ -411,13 +459,11 @@ object Queries {
 
   private val qMinhash = Q(
     "q21_minhash",
-    (s, dir) => {
-      val sh = shingles(s, dir)
-      val aggs = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
-        min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"mh$j")
-      }
-      sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
-    },
+    // r7: one-pass MinHashSig kernel over the shingle array — the old
+    // explode + 4-way min aggregation shipped one row PER CHARACTER of
+    // the corpus into a hash aggregate; this is a narrow projection with
+    // no Generate and no exchange beyond the output order (guide §2.4).
+    (s, dir) => minhashSig(s, dir, 4).orderBy("doc_id"),
     Some {
       val aggs = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
         s"min((h * $a + $b) % $P) AS mh$j"
@@ -448,12 +494,12 @@ object Queries {
   private val qNearDup = Q(
     "q22_near_dup_pairs",
     (s, dir) => {
-      val sh = shingles8(s, dir)
-      val aggs = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
-        min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"mh$j")
-      }
-      // one band of 4 rows: candidates must agree on the full signature
-      val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      // one band of 4 rows: candidates must agree on the full signature.
+      // r7: signatures via the one-pass array kernel (see q21) — the sig
+      // subtree appears TWICE in this self-join plan, so the old
+      // explode+aggregate form paid its corpus-wide shuffle twice; the
+      // narrow form duplicates only a scan+projection.
+      val sig = minhashSig(s, dir, 8)
       val keys = Seq("mh0", "mh1", "mh2", "mh3")
       val l = sig.toDF("doc_a" +: keys: _*)
       val r = sig.toDF("doc_b" +: keys: _*)
@@ -480,18 +526,23 @@ object Queries {
   private val qJaccard = Q(
     "q27_jaccard_verify",
     (s, dir) => {
-      // production verify shape: only CANDIDATES' shingles enter any
-      // shuffle. Signatures come from one cheap map-side partial-min agg
-      // over the raw shingle stream; the candidate doc set (tiny: docs in
-      // some band bucket together) is broadcast-semi-joined against the
-      // shingle stream BEFORE the distinct, so the exact-Jaccard
-      // intersection shuffles ~|candidates| docs' shingles, not the whole
-      // corpus — at 100 TB the difference between shuffling terabytes and
-      // shuffling the suspects.
-      val aggs = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
-        min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"mh$j")
-      }
-      val sig = shingles8(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      // production verify shape: only CANDIDATES' shingles are ever
+      // touched again after banding. r7 restructure (guide §2.3/§2.4):
+      // signatures and per-doc distinct shingle SETS are per-row array
+      // kernels — no explode, no corpus-wide (doc_id, h) distinct
+      // exchange, no 5-way re-expansion of the shingle subtree (the r6
+      // plan held 44 parquet scans / 116 aggregates; see
+      // plans/r07/q27_jaccard_verify_before.txt). The candidate pair set
+      // is tiny by construction (docs agreeing on the FULL 4-hash
+      // signature), so the verify stage broadcast-joins the candidates'
+      // distinct-set arrays and intersects row-locally —
+      // size(array_intersect) on distinct arrays IS the old
+      // (doc,h)-distinct intersection count. Only the sig self-join
+      // exchanges anything corpus-sized: one row per doc, five longs.
+      // At deploy scale, if the candidate sets outgrow a broadcast the
+      // fallback is a shuffle join of the same per-doc set arrays on
+      // candidate ids — still only suspects' shingles move.
+      val sig = minhashSig(s, dir, 8)
       val keys = Seq("mh0", "mh1", "mh2", "mh3")
       val cand = sig.toDF("doc_a" +: keys: _*)
         .join(sig.toDF("doc_b" +: keys: _*), keys)
@@ -499,18 +550,21 @@ object Queries {
         .select("doc_a", "doc_b")
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .unionAll(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val sh = shingles8(s, dir)
+      // semi-filter BEFORE hashing: only candidate docs' texts are
+      // re-shingled in this second pass
+      // semi-filter the RAW docs table BEFORE hashing (join placed below
+      // the projection explicitly — the optimizer does not push joins
+      // through projects), so only candidate docs are re-shingled here
+      val sets = t(s, dir, "documents")
         .join(broadcast(candDocs), Seq("doc_id"), "leftsemi")
-        .distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = sh.toDF("doc_a", "h")
-        .join(cand, Seq("doc_a"))
-        .join(sh.toDF("doc_b", "h"), Seq("doc_b", "h"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.toDF("doc_a", "sz_a"), Seq("doc_a"))
-        .join(sizes.toDF("doc_b", "sz_b"), Seq("doc_b"))
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"),
+          array_distinct(call_function("shingle_hashes_8", col("text"))).as("set"))
+        .select(col("doc_id"), col("set"), size(col("set")).cast("long").as("sz"))
+      cand
+        .join(broadcast(sets.toDF("doc_a", "set_a", "sz_a")), Seq("doc_a"))
+        .join(broadcast(sets.toDF("doc_b", "set_b", "sz_b")), Seq("doc_b"))
+        .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
         .select(col("doc_a"), col("doc_b"),
           round(col("n_inter").cast("double") /
             (col("sz_a") + col("sz_b") - col("n_inter")), 6).as("jaccard"))
@@ -541,13 +595,20 @@ object Queries {
   private val qFingerprint = Q(
     "q28_fingerprint",
     (s, dir) => {
-      val sh = shingles8(s, dir)
-      sh.groupBy("doc_id")
-        .agg(
-          min("h").as("fp_min"),
-          max("h").as("fp_max"),
-          expr("bit_xor(h)").as("fp_xor"),
-          countDistinct("h").as("n_distinct"))
+      // r7: the whole fingerprint is one per-row pass over the shingle
+      // array. The old form exploded ~corpus-chars rows and — worse —
+      // count(DISTINCT h) expanded into a (doc_id, h) grouping whose
+      // exchange carried every distinct shingle of the corpus
+      // (guide §2.3: the expensive part of a distinct is the exchange).
+      // min/max/xor are order-free folds, so array order is irrelevant;
+      // n_distinct = size(array_distinct).
+      shingleArr(s, dir, 8)
+        .select(
+          col("doc_id"),
+          array_min(col("hs")).as("fp_min"),
+          array_max(col("hs")).as("fp_max"),
+          aggregate(col("hs"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_xor"),
+          size(array_distinct(col("hs"))).cast("long").as("n_distinct"))
         .orderBy("doc_id")
     },
     Some(s"""SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
@@ -560,16 +621,26 @@ object Queries {
   private val qQuality = Q(
     "q29_quality",
     (s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-      toks.groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          countDistinct("tok").as("n_distinct"),
-          round(avg(length(col("tok"))), 6).as("mean_tok_len"),
-          round(sum(when(col("tok").isin("the", "a", "and", "data"), 1L).otherwise(0L))
-            .cast("double") / count(lit(1)), 6).as("stopword_ratio"),
-          round(countDistinct("tok").cast("double") / count(lit(1)), 6).as("distinct_ratio"))
+      // r7: every ratio is a per-row array expression over ONE
+      // tokenization — the old explode + two count(DISTINCT tok)
+      // aggregations shipped every (doc, token) STRING pair through an
+      // expand + exchange, exactly the raw-text-in-shuffle shape the q46
+      // rule bans (guide §2.3). Arithmetic reproduces the aggregates
+      // bit-for-bit: token-length sum in a long, double division by the
+      // token count, keep computed from the ROUNDED distinct_ratio as
+      // before.
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          round(aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).cast("double") /
+            size(col("toks")), 6).as("mean_tok_len"),
+          round(size(filter(col("toks"), x => x.isin("the", "a", "and", "data"))).cast("double") /
+            size(col("toks")), 6).as("stopword_ratio"),
+          round(size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")), 6).as("distinct_ratio"))
         .withColumn("keep", col("n_tokens") >= 25 && col("distinct_ratio") >= 0.3)
         .orderBy("doc_id")
     },
@@ -586,16 +657,15 @@ object Queries {
   private val qSimhash = Q(
     "q23_simhash",
     (s, dir) => {
-      val sh = shingles(s, dir)
-      val bits = sh
-        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(7))).as("b"))
-        .withColumn("w", expr("CASE WHEN (h div shiftleft(1, b)) % 2 = 1 THEN 1 ELSE -1 END"))
-      bits
-        .groupBy("doc_id", "b")
-        .agg(sum("w").as("sw"))
-        .withColumn("bitval", when(col("sw") > 0, expr("CAST(shiftleft(1, b) AS BIGINT)")).otherwise(lit(0L)))
-        .groupBy("doc_id")
-        .agg(sum("bitval").as("simhash"))
+      // r7: one-pass SimHashPack kernel over the shingle array — the old
+      // form exploded shingles AND a further 8-way bit explode (O(8·chars)
+      // Generate rows) through two aggregation rounds; the kernel computes
+      // the identical vote sums row-locally with zero exchanges
+      // (TextSketchSpec pins kernel == exploded arithmetic, incl. the
+      // div/% semantics on negative hashes).
+      graft.functions.TextSketch.registerSimHash(s, "simhash_pack_8", 8)
+      shingleArr(s, dir, 4)
+        .select(col("doc_id"), call_function("simhash_pack_8", col("hs")).as("simhash"))
         .orderBy("doc_id")
     },
     Some(s"""SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash FROM (
@@ -614,24 +684,22 @@ object Queries {
   private val qSimhashNearDup = Q(
     "q36_simhash_neardup",
     (s, dir) => {
-      val sh = shingles8(s, dir) // 8-char shingles: wider hash, simhashes
-      // spread enough that band buckets stay small (4-gram simhashes on
-      // this shared-vocabulary corpus collapse into a handful of buckets)
-      // 32 conditional sums in ONE aggregation pass — no 32x row explode
-      // (at sf0.1 the exploded form pushes 40M rows through the shuffle;
-      // this shape shuffles 5000 rows of 32 columns). Oracle keeps the
-      // exploded SQL; the vote arithmetic is identical.
-      val votes = (0 until 32).map { b =>
-        // BIGINT shift base: shiftleft(1, 31) on an INT literal wraps to
-        // -2^31 and flips the top bit's vote
-        sum(when(expr(s"(h div shiftleft(CAST(1 AS BIGINT), $b)) % 2 = 1"), 1).otherwise(-1)).as(s"sw$b")
-      }
-      val sig = sh.groupBy("doc_id")
-        .agg(votes.head, votes.tail: _*)
+      // 8-char shingles: wider hash, simhashes spread enough that band
+      // buckets stay small (4-gram simhashes on this shared-vocabulary
+      // corpus collapse into a handful of buckets).
+      // r7: the 32 vote sums + bit packing collapse into the one-pass
+      // SimHashPack kernel over the shingle array — the r6 form already
+      // avoided the 32x row explode but still exploded shingles and
+      // shuffled 32 vote columns per doc; this shuffles nothing
+      // (TextSketchSpec pins kernel == vote-sum arithmetic). Oracle keeps
+      // the exploded SQL.
+      graft.functions.TextSketch.registerSimHash(s, "simhash_pack_32", 32)
+      // coalesce: non-nullable sh32, so the band self-join infers no
+      // isnotnull(bucket) filter that would inline (and re-run) the pack
+      // kernel per predicate (see minhashSig; the sentinel cannot fire)
+      val sig = shingleArr(s, dir, 8)
         .select(col("doc_id"),
-          (0 until 32).map { b =>
-            when(col(s"sw$b") > 0, lit(1L << b)).otherwise(lit(0L))
-          }.reduce(_ + _).as("sh32"))
+          coalesce(call_function("simhash_pack_32", col("hs")), lit(-1L)).as("sh32"))
       val banded = sig.select(col("doc_id"), col("sh32"),
         explode(sequence(lit(0), lit(3))).as("band"))
         .withColumn("bucket", expr("(sh32 div shiftleft(CAST(1 AS BIGINT), band * 8)) % 256"))
@@ -679,25 +747,30 @@ object Queries {
       val sig = Lsh.signatures(docs, "doc_id", "text", n = 8, numHashes = 8)
       val cand = Lsh.candidatePairs(sig, "doc_id", numHashes = 8, bands = 2)
         .toDF("doc_a", "doc_b")
-      // exact-Jaccard verify of the banded candidates (q27's shape): only
-      // candidate docs' shingles enter the intersection shuffle
+      // exact-Jaccard verify of the banded candidates — r7: the q27 array
+      // shape (distinct-set arrays of the semi-filtered candidates,
+      // broadcast pair join, row-local array_intersect) replaces the
+      // (doc,h)-distinct shuffle + 3-way intersection join; the r6 plan
+      // re-expanded the shingle subtree into 44 scans / 152 aggregates
+      // (plans/r07/q37_banded_lsh_before.txt).
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .unionAll(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val sh = shingles8(s, dir)
+      // semi-filter the RAW docs table BEFORE hashing (join placed below
+      // the projection explicitly — the optimizer does not push joins
+      // through projects), so only candidate docs are re-shingled here
+      val sets = t(s, dir, "documents")
         .join(broadcast(candDocs), Seq("doc_id"), "leftsemi")
-        .distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = sh.toDF("doc_a", "h")
-        .join(cand, Seq("doc_a"))
-        .join(sh.toDF("doc_b", "h"), Seq("doc_b", "h"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_inter"))
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"),
+          array_distinct(call_function("shingle_hashes_8", col("text"))).as("set"))
+        .select(col("doc_id"), col("set"), size(col("set")).cast("long").as("sz"))
       // exact INTEGER pair (|A∩B|, |A∪B|) rather than a rounded quotient:
       // n_inter/n_union lands on exact half-way decimals (e.g. 41/640 =
       // 0.0640625) where Spark's HALF_UP and DuckDB's rounding disagree
-      inter
-        .join(sizes.toDF("doc_a", "sz_a"), Seq("doc_a"))
-        .join(sizes.toDF("doc_b", "sz_b"), Seq("doc_b"))
+      cand
+        .join(broadcast(sets.toDF("doc_a", "set_a", "sz_a")), Seq("doc_a"))
+        .join(broadcast(sets.toDF("doc_b", "set_b", "sz_b")), Seq("doc_b"))
+        .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
         .select(col("doc_a"), col("doc_b"), col("n_inter"),
           (col("sz_a") + col("sz_b") - col("n_inter")).as("n_union"))
         .orderBy("doc_a", "doc_b")
@@ -813,10 +886,16 @@ object Queries {
       // gram explode, so Spark runs them concurrently inside one job —
       // measured faster than every "cheaper" form that serializes them:
       // collecting the profile first, semi-filtering the stream on profile
-      // grams, and (r3, re-measured: 4.2 vs 5.7 s warm at sf0.1)
-      // countDistinct after a broadcast profile join — each adds a
+      // grams, (r3, re-measured: 4.2 vs 5.7 s warm at sf0.1)
+      // countDistinct after a broadcast profile join — and (r7, BenchExtra
+      // same-JVM A/B: 2.92 vs 4.17 s best-of-5) replacing the distinct
+      // with the one-pass DistinctGramHashes kernel: the kernel removes
+      // the corpus-wide distinct exchange, but its shuffle-free classify
+      // side cannot START until the broadcast (the whole train branch)
+      // finishes, and the lost overlap outweighs the exchange at every
+      // scale where the profile fits a broadcast. Each alternative adds a
       // blocking dependency on the profile and loses more to stage
-      // serialization than it saves in rows
+      // serialization than it saves in rows.
       val docGrams = grams.select("doc_id", "lang", "ghash").distinct()
       val scored = docGrams.join(broadcast(profile), Seq("ghash"))
         .groupBy("doc_id", "lang", "profile_lang")
@@ -1097,11 +1176,9 @@ object Queries {
       // because full-signature candidate components are cliques
       // (diameter 1), the same full-probe-equality argument as q33/q34.
       // Output: the multi-doc clusters.
-      val sh = shingles8(s, dir)
-      val aggs = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
-        min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"mh$j")
-      }
-      val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      // r7: signatures via the one-pass array kernel (see q21) — the sig
+      // subtree appears twice in the edge self-join
+      val sig = minhashSig(s, dir, 8)
       val keys = Seq("mh0", "mh1", "mh2", "mh3")
       val edges = sig.toDF("src" +: keys: _*)
         .join(sig.toDF("dst" +: keys: _*), keys)
@@ -1257,8 +1334,12 @@ object Queries {
       val vecs = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
       val centroids = Ann.trainCentroids(vecs, k = 8, iters = 2)
+      // r7: cosine from the per-vector norms ivfPairs now carries — one
+      // dot product per pair instead of dot + two norm folds,
+      // bit-identical (Ann.cosineFromNorms)
       Ann.ivfPairs(vecs, centroids, nprobe = 8)
-        .select(col("a"), col("b"), round(Ann.cosine(col("va"), col("vb")), 6).as("r_cos"))
+        .select(col("a"), col("b"),
+          round(Ann.cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")), 6).as("r_cos"))
         .filter(col("r_cos") >= 0.44) // threshold on the ROUNDED value: the
         // raw double differs across engines by summation order at ~1e-15
         .orderBy("a", "b")

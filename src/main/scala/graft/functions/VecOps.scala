@@ -45,6 +45,18 @@ object VecOps {
     while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
     s
   }
+
+  /** L2 norm with the SAME ascending accumulation order as `cosine`'s
+    * na/nb terms, so dot(a,b) / (norm(a) * norm(b)) is BIT-IDENTICAL to
+    * cosine(a,b) — the r7 pair stages precompute norms once per VECTOR
+    * instead of twice per PAIR (guide §1.2 step 2: per-task work). */
+  def norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
 }
 
 object VecFns {
@@ -54,6 +66,10 @@ object VecFns {
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sq_dist_vec", exprs => SqDistVec(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_vec", exprs => DotVec(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_norm", exprs => VecNorm(exprs(0)), "built-in")
   }
 }
 
@@ -67,6 +83,28 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(l, r)
   override def prettyName: String = "cosine_sim"
+}
+
+case class DotVec(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecOps.dot($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotVec =
+    copy(l, r)
+  override def prettyName: String = "dot_vec"
+}
+
+case class VecNorm(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any = VecOps.norm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.functions.VecOps.norm($a);")
+  override protected def withNewChildInternal(c: Expression): VecNorm = copy(c)
+  override def prettyName: String = "vec_norm"
 }
 
 case class SqDistVec(left: Expression, right: Expression) extends BinaryExpression {

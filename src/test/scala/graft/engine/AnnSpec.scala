@@ -21,6 +21,19 @@ class AnnSpec extends AnyFunSuite {
   private lazy val queries = vectors.filter(col("vec_id") < 5)
     .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
 
+  test("cosineFromNorms is BIT-identical to cosine (r7 precomputed-norm path)") {
+    Ann.register(spark)
+    val pairs = vectors.toDF("a", "va").crossJoin(
+      vectors.filter(col("vec_id") < 20).toDF("b", "vb"))
+    val both = pairs.select(
+      Ann.cosine(col("va"), col("vb")).as("c0"),
+      Ann.cosineFromNorms(col("va"), col("vb"),
+        Ann.norm(col("va")), Ann.norm(col("vb"))).as("c1"))
+    // exact double equality, not a tolerance: the whole point is that the
+    // refactor cannot move a rounded gate value by even one ulp
+    assert(both.filter(expr("c0 IS DISTINCT FROM c1")).count() == 0)
+  }
+
   test("ivf with nprobe = k equals brute force exactly") {
     val centroids = Ann.trainCentroids(vectors, k = 8, iters = 3)
     assert(centroids.size == 8)

@@ -79,13 +79,19 @@ class PlanSpec extends AnyFunSuite {
     rows.foreach { case (id, h) => assert(h == graft.synth.Pages.mix(id)) }
   }
 
-  test("q20 dedup never puts document text in an exchange key") {
+  test("q20 dedup: one scan, one hash-keyed exchange, no join, no text in keys") {
     val q = Queries.all.find(_.name == "q20_dedup_exact").get
     val df = q.impl(spark, dir)
     val p = plan(df)
-    assert(!p.contains("Window"), p) // re-keyed off the window form
+    // r7 shape: min/count over a whole-partition window on (tk64, tkey)
+    // — ONE exchange of hash keys, where the groupBy + join-back form
+    // scanned (and sha2'd) the table twice and shuffled twice
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
     // every hashpartitioning key must be a hash column, not text
     val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
     assert(exchanges.forall(l => !l.contains("text#")),
       s"text column in an exchange key:\n${exchanges.mkString("\n")}")
   }
