@@ -31,8 +31,13 @@ object BenchExtra {
     def t(name: String): DataFrame = spark.read.parquet(s"$sfDir/$name.parquet")
 
     // ----- q39 variants ---------------------------------------------------
-    def q39base(classify: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-      val docs = t("documents").filter(length(col("text")) >= 3)
+    def q39base(classify: (DataFrame, DataFrame) => DataFrame,
+        spreadDocs: Boolean = false): DataFrame = {
+      val docs0 = t("documents").filter(length(col("text")) >= 3)
+      val docs = if (spreadDocs) {
+        val target = spark.sparkContext.defaultParallelism
+        if (docs0.rdd.getNumPartitions < target) docs0.repartition(target) else docs0
+      } else docs0
       val grams = docs
         .select(col("doc_id"), col("lang"),
           explode(sequence(lit(1), length(col("text")) - 2)).as("i"), col("text"))
@@ -137,8 +142,124 @@ object BenchExtra {
             lit(-1L)).as(s"mh$j")): _*))
     }
 
+    // ----- q44 stream-stream join: shuffle-partition cap sweep ------------
+    def q44cap(n: Int): DataFrame = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", n.toString)
+      val path = s"$sfDir/events.parquet"
+      val schema = s2.read.parquet(path).schema
+      val f = new java.io.File(path)
+      val stream = s2.readStream.schema(schema)
+        .option("pathGlobFilter", f.getName).parquet(f.getParent)
+      val joined = graft.engine.Streaming.attributionJoin(stream)
+      val qn = s"ab_attr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = joined.writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s2.table(qn).orderBy("p_id", "view_us")
+    }
+
+    // ----- q18 predicate construction variants ----------------------------
+    def q18with(pred: org.apache.spark.sql.Column): DataFrame = {
+      val docs = t("documents")
+        .withColumn("lon", graft.functions.GeoCols.docLon(col("doc_id")))
+        .withColumn("lat", graft.functions.GeoCols.docLat(col("doc_id")))
+        .select("doc_id", "lon", "lat", "n_chars")
+      val tmp = s"${graft.engine.Queries.publishRoot(spark)}/graft_q18_cluster_" +
+        graft.engine.Queries.tableFingerprint(sfDir, "documents")
+      graft.core.Fs.publishOnce(tmp, spark.sparkContext.applicationId) { stage =>
+        graft.engine.SpatialJoin.writeClusteredS2(docs, stage, "lon", "lat", partitions = 8)
+      }
+      spark.read.parquet(tmp)
+        .filter(pred)
+        .filter(col("lon").between(6.3, 6.7) && col("lat").between(43.3, 43.7))
+        .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 4).as("avg_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    }
+    def balancedOr(cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      if (cs.size == 1) cs.head
+      else balancedOr(cs.grouped(2).map(g => g.reduce(_ || _)).toSeq)
+    def rangesAt(level: Int): Seq[org.apache.spark.sql.Column] =
+      graft.core.S2.coverRect(6.3, 43.3, 6.7, 43.7, level)
+        .map(c => col("s2").between(graft.core.S2.rangeMin(c), graft.core.S2.rangeMax(c)))
+
+    // ----- q01/q08: single-partition lineitem scan ------------------------
+    def spread(df: DataFrame): DataFrame = {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+    def q01body(li: DataFrame): DataFrame = {
+      val baseCents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val discCents =
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5).cast("long")
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          (sum(baseCents) / 100.0).as("sum_base_price"),
+          (sum(discCents) / 100.0).as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+    def q08body(li: DataFrame): DataFrame = {
+      val sup = t("supplier"); val nation = t("nation"); val region = t("region")
+      val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+        .cast("long")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("r_name")
+        .agg((sum(cents) / 100.0).as("revenue"),
+          countDistinct("s_suppkey").as("n_suppliers"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("r_name")
+    }
+
+    // ----- q25: explode + partial agg inside the 1-partition scan stage ---
+    def q25body(docs: DataFrame): DataFrame = {
+      val grams = docs.filter(length(col("text")) >= 3)
+        .select(col("lang"), explode(sequence(lit(1), length(col("text")) - 2)).as("i"), col("text"))
+        .select(col("lang"), expr("substring(text, i, 3)").as("gram"))
+      val counts = grams.groupBy("lang", "gram").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n").desc, col("gram").asc)
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy("lang", "rank")
+    }
+
     val variants: Seq[(String, () => DataFrame)] = which match {
-      case "q39" => Seq("old-distinct" -> q39old, "new-kernel" -> q39new)
+      case "q25" => Seq(
+        "scan-1part" -> (() => q25body(t("documents"))),
+        "scan-spread" -> (() => q25body(spread(t("documents")))))
+      case "q01" => Seq(
+        "scan-1part" -> (() => q01body(t("lineitem"))),
+        "scan-spread" -> (() => q01body(spread(t("lineitem")))))
+      case "q08" => Seq(
+        "scan-1part" -> (() => q08body(t("lineitem"))),
+        "scan-spread" -> (() => q08body(spread(t("lineitem")))))
+      case "q44" => Seq(
+        "cap8" -> (() => q44cap(8)),
+        "cap4" -> (() => q44cap(4)),
+        "cap2" -> (() => q44cap(2)),
+        "cap1" -> (() => q44cap(1)))
+      case "q18" => Seq(
+        "lvl11-leftdeep" -> (() => q18with(
+          graft.engine.SpatialJoin.s2RangePredicate(6.3, 43.3, 6.7, 43.7, level = 11))),
+        "lvl11-balanced" -> (() => q18with(balancedOr(rangesAt(11)))),
+        "lvl9-leftdeep" -> (() => q18with(rangesAt(9).reduce(_ || _))),
+        "lvl8-leftdeep" -> (() => q18with(rangesAt(8).reduce(_ || _))))
+      case "q39" => Seq("old-distinct" -> q39old, "new-kernel" -> q39new,
+        "old-distinct-spread" -> (() => q39base({ (docs, profile) =>
+          val grams = docs
+            .select(col("doc_id"), col("lang"),
+              explode(sequence(lit(1), length(col("text")) - 2)).as("i"), col("text"))
+            .select(col("doc_id"), col("lang"),
+              xxhash64(expr("substring(text, i, 3)")).as("ghash"))
+            .distinct()
+          grams.join(broadcast(profile), Seq("ghash"))
+        }, spreadDocs = true)))
       case "q36" => Seq("old-votesum" -> q36old, "new-pack" -> q36new,
         "new-pack-repart" -> (() => {
           graft.functions.TextSketch.registerSimHash(spark, "simhash_pack_32", 32)

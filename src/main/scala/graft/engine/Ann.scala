@@ -290,8 +290,12 @@ object Ann {
     require(pvs.forall(p => p.exists(_ != 0.0)),
       "angleBandCandidates pivots must be non-zero (cosine would be undefined)")
     val p = pvs.length // <= requested on rank-deficient corpora
-    val nz = vectors
-      .filter(sqNorm(col("vec")) > 0)
+    // r7: spread a small input (guide §2.5) — the band join broadcasts
+    // its build side, so the ENTIRE candidate expansion + angle prefilter
+    // + downstream exact-cosine chain runs at the STREAM side's
+    // partitioning; an unspread gate-scale scan would pin all of it to
+    // one or two cores. Identity at real scale (see spreadSmall).
+    val nz = spreadSmall(vectors.filter(sqNorm(col("vec")) > 0))
       .select(col("vec_id") +: pvs.zipWithIndex.map { case (pv, i) =>
         degrees(acos(least(lit(1.0), greatest(lit(-1.0),
           cosine(col("vec"), typedLit(pv.toSeq)))))).as(s"th$i")

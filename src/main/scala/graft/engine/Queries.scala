@@ -834,7 +834,11 @@ object Queries {
       // 2.95 vs 1.79 s warm best-of-5 at sf0.1. The q46/q39 rule is
       // about corpus-scale exchange KEYS; a combine-collapsed exchange
       // has none.
-      val docs = t(s, dir, "documents").filter(length(col("text")) >= 3)
+      // r7: spreadSmall — the explode + partial agg run inside the SCAN
+      // stage, which is one partition for the gate's single small file;
+      // measured 1.53 -> 0.62 s best-of-5 (BenchExtra q25). Identity at
+      // real scale (see spreadSmall).
+      val docs = spreadSmall(t(s, dir, "documents").filter(length(col("text")) >= 3))
       val grams = docs
         .select(col("lang"), explode(sequence(lit(1), length(col("text")) - 2)).as("i"), col("text"))
         .select(col("lang"), expr("substring(text, i, 3)").as("gram"))
@@ -870,7 +874,11 @@ object Queries {
   private val qLangId = Q(
     "q39_lang_id",
     (s, dir) => {
-      val docs = t(s, dir, "documents").filter(length(col("text")) >= 3)
+      // r7: spreadSmall — BOTH branches' gram explodes + partial aggs run
+      // inside the scan stage (one partition at gate scale); measured
+      // 3.55 -> 2.03 s best-of-5 (BenchExtra q39 old-distinct-spread).
+      // Identity at real scale (see spreadSmall).
+      val docs = spreadSmall(t(s, dir, "documents").filter(length(col("text")) >= 3))
       val grams = docs
         .select(col("doc_id"), col("lang"),
           explode(sequence(lit(1), length(col("text")) - 2)).as("i"), col("text"))
@@ -1011,7 +1019,9 @@ object Queries {
         sequence(lit(0), size(col("words")) - 2),
         i => xxhash64(concat_ws(" ",
           element_at(col("words"), i + 1), element_at(col("words"), i + 2))))
-      val counts = t(s, dir, "documents")
+      // r7: spreadSmall — the bigram explode + partial agg run inside the
+      // single-partition gate scan otherwise (see q25; identity at scale)
+      val counts = spreadSmall(t(s, dir, "documents"))
         .select(col("doc_id"), split(col("text"), " ").as("words"))
         .filter(size(col("words")) >= 2)
         .select(col("doc_id"), explode(grams).as("g"))

@@ -15,7 +15,7 @@ object Streaming {
     * the parquet events table; returns the materialized complete-mode
     * result. Batch-equivalent: Queries q06 (without HAVING). */
   def hourlyByType(spark: SparkSession, eventsPath: String): DataFrame = {
-    val s = cappedSession(spark, 8)
+    val s = cappedSession(spark, 4)
     val schema = s.read.parquet(eventsPath).schema
     val stream = streamOf(s, eventsPath, schema)
     val agg = stream
@@ -35,18 +35,26 @@ object Streaming {
     * x batch) commit term, and store instances = shuffle partitions; the
     * gate inputs are single-batch with a few thousand keys, so 32
     * partitions buy no parallelism and pay 32 commits. q44 measured
-    * 6.4 -> 2.4 s when its cap landed (r3); at deploy scale the right
-    * cap is sized to state volume, not defaulted from scan parallelism.
+    * 6.4 -> 2.4 s when its cap landed at 8 (r3); the r7 same-JVM sweep
+    * (BenchExtra q44, best-of-4 warm at sf0.1) measured cap8 2.44 /
+    * cap4 1.91 / cap2 1.84 / cap1 1.88 s — the commit term keeps
+    * shrinking to 4, then flattens — so the default cap is now 4. At
+    * deploy scale the right cap is sized to state volume, not defaulted
+    * from scan parallelism: it is PARAMETERIZED via the caller session's
+    * `spark.graft.streamShufflePartitions` conf, which overrides the
+    * local default.
     *
     * `newSession()` shares the SparkContext and cached data but owns its
     * SQLConf and catalog, so the cap can NEVER leak into a query planned
     * concurrently on the caller's session (the hazard of the earlier
     * set/restore form: any query planned inside the window silently
-    * inherited partitions = 8). The whole capped query — source, start,
+    * inherited the cap). The whole capped query — source, start,
     * memory-sink table read — must run on this session. */
   private def cappedSession(spark: SparkSession, n: Int): SparkSession = {
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    val cap = spark.conf.getOption("spark.graft.streamShufflePartitions")
+      .getOrElse(n.toString)
+    s.conf.set("spark.sql.shuffle.partitions", cap)
     s
   }
 
@@ -177,7 +185,7 @@ object Streaming {
     * Only the count is emitted: WHICH duplicate survives dropDuplicates
     * depends on arrival order, but the surviving KEY SET does not. */
   def dedupStream(spark: SparkSession, docsPath: String): DataFrame = {
-    val s = cappedSession(spark, 8)
+    val s = cappedSession(spark, 4)
     val schema = s.read.parquet(docsPath).schema
     val stream = streamOf(s, docsPath, schema)
     val agg = stream
@@ -265,7 +273,7 @@ object Streaming {
     // stream-stream join state = 4 store instances PER shuffle partition,
     // each paying a per-batch commit: cap partitions for the join's
     // stateful stage (isolated session — never leaks to the caller's)
-    val s = cappedSession(spark, 8)
+    val s = cappedSession(spark, 4)
     val schema = s.read.parquet(eventsPath).schema
     val joined = attributionJoin(streamOf(s, eventsPath, schema))
     val qn = s"stream_attr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -277,7 +285,7 @@ object Streaming {
 
   /** Drive sessionize as a real streaming query over the events table. */
   def sessionizeStream(spark: SparkSession, eventsPath: String): DataFrame = {
-    val s = cappedSession(spark, 8)
+    val s = cappedSession(spark, 4)
     import s.implicits._
     val schema = s.read.parquet(eventsPath).schema
     val stream = streamOf(s, eventsPath, schema)
