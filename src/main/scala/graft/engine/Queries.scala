@@ -471,15 +471,11 @@ object Queries {
       s"SELECT doc_id, $aggs FROM ($shinglesSql) GROUP BY doc_id ORDER BY doc_id"
     })
 
-  /** 8-char shingles for near-dup candidates: the longer shingle
-    * de-concentrates minhash minima (985 distinct 4-grams vs 13005 8-grams
-    * on the synthetic corpus), so the LSH bucket join stays near-linear. */
-  private def shingles8(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.ShingleHashes.register(s, "shingle_hashes_8", 8)
-    t(s, dir, "documents")
-      .filter(length(col("text")) >= 8)
-      .select(col("doc_id"), explode(call_function("shingle_hashes_8", col("text"))).as("h"))
-  }
+  // 8-char shingles for near-dup candidates: the longer shingle
+  // de-concentrates minhash minima (985 distinct 4-grams vs 13005 8-grams
+  // on the synthetic corpus), so the LSH bucket join stays near-linear.
+  // (The exploded shingles8 row helper was removed in r7 — every consumer
+  // now reads the shingle ARRAY via shingleArr + the TextSketch kernels.)
 
   private val shingles8Sql = {
     val powers = Seq(27512614111L, 887503681L, 28629151L, 923521L, 29791L, 961L, 31L, 1L)
