@@ -30,6 +30,12 @@ object BenchExtra {
 
     def t(name: String): DataFrame = spark.read.parquet(s"$sfDir/$name.parquet")
 
+    // scale-adaptive spread (the shipped Queries/Ann helper's shape)
+    def spread(df: DataFrame): DataFrame = {
+      val target = spark.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+
     // ----- q39 variants ---------------------------------------------------
     def q39base(classify: (DataFrame, DataFrame) => DataFrame,
         spreadDocs: Boolean = false): DataFrame = {
@@ -135,8 +141,11 @@ object BenchExtra {
       q22tail(shingleRows(8).groupBy("doc_id").agg(aggs.head, aggs.tail: _*))
     }
     val q22new = () => {
+      // the SHIPPED form: spread + kernel (see Queries.minhashSig)
       graft.functions.TextSketch.registerMinHash(spark, "minhash_sig_q8", MinhashParams, P, preMod = false)
-      q22tail(shingleArr(8)
+      graft.functions.ShingleHashes.register(spark, "shingle_hashes_8", 8)
+      q22tail(spread(t("documents").filter(length(col("text")) >= 8))
+        .select(col("doc_id"), call_function("shingle_hashes_8", col("text")).as("hs"))
         .select(col("doc_id") +: MinhashParams.indices.map(j =>
           coalesce(element_at(call_function("minhash_sig_q8", col("hs")), j + 1),
             lit(-1L)).as(s"mh$j")): _*))
@@ -184,10 +193,6 @@ object BenchExtra {
         .map(c => col("s2").between(graft.core.S2.rangeMin(c), graft.core.S2.rangeMax(c)))
 
     // ----- q01/q08: single-partition lineitem scan ------------------------
-    def spread(df: DataFrame): DataFrame = {
-      val target = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-    }
     def q01body(li: DataFrame): DataFrame = {
       val baseCents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
       val discCents =

@@ -157,17 +157,21 @@ object Ann {
     // r7: each side carries its L2 norm, computed once per VECTOR before
     // the pair fan-out, so callers can run the per-pair cosine as a single
     // dot product (cosineFromNorms — bit-identical)
-    // both sides spread: whichever side the planner streams (the other
-    // broadcasts at gate scale), the similarity stage keeps full-width
-    // partitioning instead of the scan's single partition
-    val idx = spreadSmall(assign(vectors, centroids).toDF("cluster", "a", "va"))
+    // both sides spread BEFORE their per-vector work (assign's centroid
+    // argmin fold, the norms): whichever side the planner streams (the
+    // other broadcasts at gate scale), every per-vector and per-pair
+    // stage keeps full-width partitioning instead of the scan's single
+    // partition — and the two sides' identical repartition subtrees
+    // collapse into one reused exchange
+    val spreadVecs = spreadSmall(vectors)
+    val idx = assign(spreadVecs, centroids).toDF("cluster", "a", "va")
       .withColumn("na", norm(col("va")))
     val sorted = array_sort(transform(
       centroidLit(centroids),
       c => struct(sqDist(col("vb"), c.getField("centroid")).as("d"),
         c.getField("cluster").as("cluster"))))
     val probeClusters = transform(slice(sorted, 1, nprobe), s => s.getField("cluster"))
-    val probes = spreadSmall(vectors.toDF("b", "vb"))
+    val probes = spreadVecs.toDF("b", "vb")
       .withColumn("nb", norm(col("vb")))
       .withColumn("cluster", explode(probeClusters))
     idx.join(probes, Seq("cluster"))
