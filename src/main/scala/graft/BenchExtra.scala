@@ -234,6 +234,118 @@ object BenchExtra {
         .orderBy("lang", "rank")
     }
 
+    // ----- q57 candidate-stage variants: array angles + p Generates (r6/early-r7)
+    // vs scalar angles + single literal-combo Generate (shipped) ------------
+    def q57vecs: DataFrame = {
+      // the gate's corpus: embeddings plus the deterministically perturbed
+      // twin of every vector (see Queries q57) — reproduced here to drive
+      // the candidate-stage A/B (count of candidate pairs)
+      val base = t("embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val twins = base.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        expr("transform(vec, x -> x * 0.999 + 0.0005)").as("vec"))
+      base.unionByName(twins)
+    }
+    def q57oldCand(vectors: DataFrame, tau: Double, bandWidthDeg: Double): DataFrame = {
+      graft.engine.Ann.register(spark)
+      def sqNorm(v: org.apache.spark.sql.Column) =
+        call_function("sq_dist_vec", v, array_repeat(lit(0.0), size(v)))
+      val maxDeltaDeg = math.toDegrees(math.acos(tau))
+      val m = math.ceil(maxDeltaDeg / bandWidthDeg).toLong
+      val maxCombos = 81
+      val perPivot = 2 * m + 1
+      val pBudget = math.max(1, (math.log(maxCombos) / math.log(perPivot.toDouble)).toInt)
+      val pvs = graft.engine.Ann.orthoPivots(vectors, math.min(3, pBudget))
+      val p = pvs.length
+      val nz = spread(vectors.filter(sqNorm(col("vec")) > 0))
+        .select(col("vec_id") +: pvs.zipWithIndex.map { case (pv, i) =>
+          degrees(acos(least(lit(1.0), greatest(lit(-1.0),
+            graft.engine.Ann.cosine(col("vec"), typedLit(pv.toSeq)))))).as(s"th$i")
+        }: _*)
+      val bandCols = (0 until p).map(i => s"band$i")
+      val left = nz.select(
+        col("vec_id").as("a") +:
+          array((0 until p).map(i => col(s"th$i")): _*).as("ta") +:
+          (0 until p).map(i => floor(col(s"th$i") / lit(bandWidthDeg)).cast("long").as(s"band$i")): _*)
+      var right = nz.select(
+        col("vec_id").as("b") +:
+          array((0 until p).map(i => col(s"th$i")): _*).as("tb") +:
+          (0 until p).map(i => floor(col(s"th$i") / lit(bandWidthDeg)).cast("long").as(s"c$i")): _*)
+      (0 until p).foreach { i =>
+        right = right.withColumn(s"band$i",
+          explode(sequence(col(s"c$i") - lit(m), col(s"c$i") + lit(m))))
+      }
+      left.join(right.drop((0 until p).map(i => s"c$i"): _*), bandCols)
+        .filter(col("a") < col("b"))
+        .filter((0 until p)
+          .map(i => abs(col("ta")(i) - col("tb")(i)) <= lit(maxDeltaDeg))
+          .reduce(_ && _))
+        .select("a", "b", "ta", "tb")
+    }
+
+    // ----- q53 round shape: eager-checkpoint + separate sig job (r6) vs
+    // lazy checkpoint fused into the sig job (shipped) ----------------------
+    def q53edges: (DataFrame, DataFrame) = {
+      // near-dup signature pairs at gate shape (see Queries q53): exact
+      // minhash-equality edges over the document corpus
+      graft.functions.TextSketch.registerMinHash(spark, "minhash_sig_q8", MinhashParams, P, preMod = false)
+      graft.functions.ShingleHashes.register(spark, "shingle_hashes_8", 8)
+      val sig = spread(t("documents").filter(length(col("text")) >= 8))
+        .select(col("doc_id"), call_function("shingle_hashes_8", col("text")).as("hs"))
+        .select(col("doc_id") +: MinhashParams.indices.map(j =>
+          coalesce(element_at(call_function("minhash_sig_q8", col("hs")), j + 1),
+            lit(-1L)).as(s"mh$j")): _*)
+      val keys = Seq("mh0", "mh1", "mh2", "mh3")
+      val edges = sig.toDF("src" +: keys: _*)
+        .join(sig.toDF("dst" +: keys: _*), keys)
+        .filter(col("src") < col("dst"))
+        .select("src", "dst")
+      val nodes = t("documents").select(col("doc_id").as("id"))
+      (nodes, edges)
+    }
+    def ccStarEager(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+      var pairs = edges.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+        .unionByName(nodes.select(col("id").as("u"), col("id").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      def sig(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).collect()(0)
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      var prevSig = sig(pairs)
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        val sym = pairs
+          .unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
+        val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+          .select(col("u"), least(col("mv"), col("u")).as("m"))
+        val large = sym.join(mins, "u")
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(mins.select(col("u"), col("m").as("v")))
+          .distinct()
+        val oriented = large.select(
+          greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        val mins2 = oriented.groupBy("u").agg(min(col("v")).as("mv"))
+          .select(col("u"), least(col("mv"), col("u")).as("m"))
+        val next = oriented.join(mins2, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(mins2.select(col("u"), col("m").as("v")))
+          .distinct()
+          .localCheckpoint(true)
+        val nextSig = sig(next)
+        converged = nextSig == prevSig
+        prevSig = nextSig
+        pairs = next
+        round += 1
+      }
+      require(converged, s"ccStarEager did not converge in $maxRounds rounds")
+      pairs.groupBy("u").agg(min("v").as("component"))
+        .select(col("u").as("id"), col("component"))
+    }
+
     val variants: Seq[(String, () => DataFrame)] = which match {
       case "q25" => Seq(
         "scan-1part" -> (() => q25body(t("documents"))),
@@ -285,6 +397,13 @@ object BenchExtra {
           q36tail(sig)
         }))
       case "q22" => Seq("old-agg" -> q22old, "new-kernel" -> q22new)
+      case "q57" => Seq(
+        "old-arrays-pGen" -> (() => q57oldCand(q57vecs, 0.98 - 5e-7, 11.5)),
+        "new-scalars-1Gen" -> (() => graft.engine.Ann.angleBandCandidates(
+          q57vecs, 0.98 - 5e-7, bandWidthDeg = 11.5)))
+      case "q53" => Seq(
+        "old-eager-ckpt" -> (() => { val (n, e) = q53edges; ccStarEager(n, e) }),
+        "new-fused-sig" -> (() => { val (n, e) = q53edges; graft.engine.Graph.connectedComponentsStar(n, e) }))
       case other => sys.error(s"unknown A/B: $other")
     }
 

@@ -305,25 +305,41 @@ object Ann {
           cosine(col("vec"), typedLit(pv.toSeq)))))).as(s"th$i")
       }: _*)
     val bandCols = (0 until p).map(i => s"band$i")
+    // r7: angles ride the band join as p SCALAR double columns, not an
+    // array — the candidate exchange row sheds the ArrayData header/null
+    // words (~24 B/row at p=3) and the O(p) prefilter reads fields
+    // directly instead of per-row array element access; the public
+    // (a, b, ta, tb) schema is reassembled AFTER the filter (and pruned
+    // away entirely by consumers like pairsAngleBanded that only take the
+    // ids).
     val left = nz.select(
       col("vec_id").as("a") +:
-        array((0 until p).map(i => col(s"th$i")): _*).as("ta") +:
-        (0 until p).map(i => floor(col(s"th$i") / lit(bandWidthDeg)).cast("long").as(s"band$i")): _*)
-    // probe side: one Generate per pivot → the (2m+1)^p distinct tuples
-    var right = nz.select(
-      col("vec_id").as("b") +:
-        array((0 until p).map(i => col(s"th$i")): _*).as("tb") +:
-        (0 until p).map(i => floor(col(s"th$i") / lit(bandWidthDeg)).cast("long").as(s"c$i")): _*)
-    (0 until p).foreach { i =>
-      right = right.withColumn(s"band$i",
-        explode(sequence(col(s"c$i") - lit(m), col(s"c$i") + lit(m))))
+        ((0 until p).map(i => col(s"th$i").as(s"__ta$i")) ++
+          (0 until p).map(i => floor(col(s"th$i") / lit(bandWidthDeg)).cast("long").as(s"band$i"))): _*)
+    // probe side: ONE Generate over the plan-literal offset-combo array —
+    // the (2m+1)^p <= maxCombos neighbour tuples — instead of p chained
+    // explode(sequence(...)) Generates each allocating a fresh ArrayData
+    // per input row (r7; same tuple set, each pair still meets on the
+    // single tuple bands(a))
+    val offs: Seq[Seq[Long]] = (0 until p).foldLeft(Seq(Seq.empty[Long])) {
+      (acc, _) => acc.flatMap(t => (-m to m).map(o => t :+ o))
     }
-    left.join(right.drop((0 until p).map(i => s"c$i"): _*), bandCols)
+    val right = nz.select(
+      col("vec_id").as("b") +:
+        ((0 until p).map(i => col(s"th$i").as(s"__tb$i")) ++
+          (0 until p).map(i => floor(col(s"th$i") / lit(bandWidthDeg)).cast("long").as(s"c$i"))): _*)
+      .select(col("*"), explode(typedLit(offs)).as("__off"))
+      .select(col("b") +:
+        ((0 until p).map(i => col(s"__tb$i")) ++
+          (0 until p).map(i => (col(s"c$i") + col("__off")(i)).as(s"band$i"))): _*)
+    left.join(right, bandCols)
       .filter(col("a") < col("b"))
       .filter((0 until p) // O(p) pre-verify, codegen'd scalar comparisons
-        .map(i => abs(col("ta")(i) - col("tb")(i)) <= lit(maxDeltaDeg))
+        .map(i => abs(col(s"__ta$i") - col(s"__tb$i")) <= lit(maxDeltaDeg))
         .reduce(_ && _))
-      .select("a", "b", "ta", "tb")
+      .select(col("a"), col("b"),
+        array((0 until p).map(i => col(s"__ta$i")): _*).as("ta"),
+        array((0 until p).map(i => col(s"__tb$i")): _*).as("tb"))
   }
 
   /** EXACT cosine near-dup pairs for the HIGH-threshold regime

@@ -46,7 +46,7 @@ object Graph {
       var ranks = nodes
         .join(outDeg, nodes("id") === outDeg("src"), "left")
         .select(col("id"), lit(base).as("rank"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-      (1 to iters).foreach { _ =>
+      (1 to iters).foreach { i =>
         val contribs = e
           .join(ranks, e("src") === ranks("id"))
           .select(col("dst"), expr("rank DIV outdeg").as("c"))
@@ -56,7 +56,14 @@ object Graph {
           .select(col("id"),
             (lit(15L * base / 100L) + expr("85 * coalesce(s, 0L) DIV 100")).as("rank"),
             col("outdeg"))
-          .localCheckpoint(true) // truncate the per-iteration plan nesting
+          // truncate the per-iteration plan nesting; only the LAST round
+          // materializes eagerly (it must complete before the edge cache
+          // is unpersisted below) — intermediate rounds' result stages run
+          // lazily inside the next round's job, saving iters-1 driver
+          // jobs (r7; AQE still runs each round's shuffle stages at plan
+          // time, so this only removes the per-round cache-materialize
+          // job, not any shuffle)
+          .localCheckpoint(i == iters)
       }
       ranks.select("id", "rank")
     } finally e.unpersist(false) // async: the returned ranks are already materialized
@@ -106,11 +113,18 @@ object Graph {
   def connectedComponentsStar(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
     // parent-pointer multiset, seeded with both edge directions plus a
     // self-loop per node (keeps isolated nodes in the computation)
+    // localCheckpoint(eager = false) + the sig() aggregation right after:
+    // the signature job materializes the checkpoint blocks as a side
+    // effect (LocalRDDCheckpointData caches every partition the job
+    // computes and truncates lineage at job end), so each round costs ONE
+    // job instead of an eager-materialize job PLUS a signature job (r7,
+    // the "fused fixpoint" item; results are unaffected — the arithmetic
+    // is order-independent integer/xor work either way).
     var pairs = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
       .unionByName(nodes.select(col("id").as("u"), col("id").as("v")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def sig(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).collect()(0)
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -137,15 +151,16 @@ object Graph {
         greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       val mins2 = oriented.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
-      // localCheckpoint: materialize AND truncate the plan each round —
-      // without it the logical tree nests per iteration and analysis
-      // blows up long before the data does (the standard iterative-
-      // DataFrame pattern)
+      // localCheckpoint: truncate the plan each round — without it the
+      // logical tree nests per iteration and analysis blows up long
+      // before the data does (the standard iterative-DataFrame pattern);
+      // materialization is fused into the fixpoint signature job (see the
+      // seed checkpoint above)
       val next = oriented.join(mins2, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(mins2.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false) // materialized by the sig() job below (see seed)
       // fixpoint test: (count, order-independent xor-fingerprint) of the
       // pair SET — ONE cheap agg per round (bit_xor never overflows,
       // unlike a hash SUM under ANSI); the previous round's fingerprint
