@@ -401,6 +401,16 @@ object BenchExtra {
         "old-arrays-pGen" -> (() => q57oldCand(q57vecs, 0.98 - 5e-7, 11.5)),
         "new-scalars-1Gen" -> (() => graft.engine.Ann.angleBandCandidates(
           q57vecs, 0.98 - 5e-7, bandWidthDeg = 11.5)))
+      case "q57p" => Seq(
+        "pivots3" -> (() => graft.engine.Ann.angleBandCandidates(
+          q57vecs, 0.98 - 5e-7, bandWidthDeg = 11.5, numPivots = 3)),
+        "pivots4" -> (() => graft.engine.Ann.angleBandCandidates(
+          q57vecs, 0.98 - 5e-7, bandWidthDeg = 11.5, numPivots = 4)))
+      case "q57full" => Seq(
+        "pivots3" -> (() => graft.engine.Ann.pairsAngleBanded(
+          q57vecs, 0.98 - 5e-7, bandWidthDeg = 11.5, numPivots = 3)),
+        "pivots4" -> (() => graft.engine.Ann.pairsAngleBanded(
+          q57vecs, 0.98 - 5e-7, bandWidthDeg = 11.5, numPivots = 4)))
       case "q53" => Seq(
         "old-eager-ckpt" -> (() => { val (n, e) = q53edges; ccStarEager(n, e) }),
         "new-fused-sig" -> (() => { val (n, e) = q53edges; graft.engine.Graph.connectedComponentsStar(n, e) }))

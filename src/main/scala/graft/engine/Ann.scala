@@ -283,7 +283,14 @@ object Ann {
     // probe rows per vector, which costs far more to shuffle than the
     // extra pivots prune. Use only as many pivots as fit a fixed combo
     // budget (>= 1 always). At the standard width = acos(tau) setting
-    // (m = 1) the full 3 pivots cost 27 combos and always fit; callers
+    // (m = 1) the default 3 pivots cost 27 combos and always fit, and a
+    // 4th exactly fills the budget. The 4th pivot is a SCALE knob, not a
+    // default: it multiplies isotropic retention by another ~3/4 but
+    // triples the probe fan-out, so it pays only once candidate volume
+    // (corpus-quadratic) dominates probe rows (corpus-linear) — measured
+    // 1.45x at sf1 (7.18 -> 4.94 s full operator) and ~0.5 s SLOWER at
+    // sf0.1 (BenchExtra q57full). Callers at corpus scale pass
+    // numPivots = 4; callers
     // who narrow the bands implicitly trade pivots for band resolution.
     val maxCombos = 81
     val perPivot = 2 * m + 1
@@ -361,11 +368,37 @@ object Ann {
     // r7: norms ride along from the per-vector fetch, so the per-pair
     // cosine is ONE dot product (cosineFromNorms — bit-identical to
     // cosine(va, vb), see VecOps.norm)
+    //
+    // r7, fetch-join strategy (guide §3 "pick the strategy deliberately"):
+    // the candidate stream is output-pair-driven — typically ORDERS OF
+    // MAGNITUDE larger than the vector table — and the default planner
+    // turns both fetch joins into sort-merge the moment the vector side
+    // crosses the 10 MB broadcast threshold, SORTING the candidate
+    // stream twice (the second time at full vector width: at sf1 that is
+    // ~3e8 rows x ~540 B — a disk-filling spill sort measured at 414 s
+    // for the whole query). Neither sort buys anything: pick explicitly —
+    //   - vector side fits executor working memory (parameterised bound,
+    //     spark.graft.fetchBroadcastBytes, default 128 MB): broadcast it;
+    //     the candidate stream is never exchanged at all;
+    //   - larger: SHUFFLE_HASH on the vector side — same exchanges a
+    //     sort-merge join would do, but the per-partition hash build is
+    //     on the SMALL side and the wide candidate stream is never
+    //     sorted. (At 10^9+ vectors the per-partition build is
+    //     |V|/partitions rows — the standard shuffled-hash regime.)
+    // Size check is plan-time stats (what the planner itself uses) — no
+    // extra job; the strategy choice cannot change results, only the
+    // physical join.
+    val spark = vectors.sparkSession
+    val fetchBound = BigInt(spark.conf.get("spark.graft.fetchBroadcastBytes",
+      (128L << 20).toString).toLong)
+    def fetchSide(df: DataFrame): DataFrame =
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= fetchBound) broadcast(df)
+      else df.hint("shuffle_hash")
     cand.select("a", "b")
-      .join(vectors.select(col("vec_id").as("a"), col("vec").as("va"),
-        norm(col("vec")).as("__na")), Seq("a"))
-      .join(vectors.select(col("vec_id").as("b"), col("vec").as("vb"),
-        norm(col("vec")).as("__nb")), Seq("b"))
+      .join(fetchSide(vectors.select(col("vec_id").as("a"), col("vec").as("va"),
+        norm(col("vec")).as("__na"))), Seq("a"))
+      .join(fetchSide(vectors.select(col("vec_id").as("b"), col("vec").as("vb"),
+        norm(col("vec")).as("__nb"))), Seq("b"))
       .withColumn("cos", cosineFromNorms(col("va"), col("vb"), col("__na"), col("__nb")))
       .filter(col("cos") >= lit(tau))
       .select("a", "va", "b", "vb", "cos")

@@ -152,6 +152,29 @@ class AnnSpec extends AnyFunSuite {
     assert(b2 == brute(spread2, tau2), "rank-2 corpus, 2 pivots")
   }
 
+  test("shuffled-hash fetch path (vector side over the broadcast bound) stays exact") {
+    import spark.implicits._
+    Ann.register(spark)
+    // pairsAngleBanded picks the fetch-join strategy from plan-time size
+    // vs spark.graft.fetchBroadcastBytes (r7, guide §3): broadcast when
+    // the vector side fits, SHUFFLE_HASH otherwise so the candidate
+    // stream is never sort-merge-sorted at width. Force the over-bound
+    // branch and pin it pair-identical (ids AND cosines) to the
+    // broadcast-path result.
+    val tau = 0.9
+    val width = math.toDegrees(math.acos(tau))
+    def run(): Set[(Long, Long, Double)] =
+      Ann.pairsAngleBanded(vectors, tau, bandWidthDeg = width)
+        .select("a", "b", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaBroadcast = run()
+    spark.conf.set("spark.graft.fetchBroadcastBytes", "1")
+    try {
+      val viaShj = run()
+      assert(viaShj == viaBroadcast, "forced shuffle-hash fetch diverged")
+    } finally spark.conf.unset("spark.graft.fetchBroadcastBytes")
+  }
+
   test("precomputed pivots reproduce the per-call pivot selection exactly") {
     import spark.implicits._
     Ann.register(spark)
