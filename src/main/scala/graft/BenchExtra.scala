@@ -411,6 +411,41 @@ object BenchExtra {
           q57vecs, 0.98 - 5e-7, bandWidthDeg = 11.5, numPivots = 3)),
         "pivots4" -> (() => graft.engine.Ann.pairsAngleBanded(
           q57vecs, 0.98 - 5e-7, bandWidthDeg = 11.5, numPivots = 4)))
+      case "q34" => {
+        // old (plain planner-choice cluster join) vs shipped (fetchSide on
+        // idx) — full q34 body either way
+        graft.engine.Ann.register(spark)
+        val vecs = t("embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        val centroids = graft.engine.Ann.trainCentroids(vecs, k = 8, iters = 2)
+        def q34tail(pairs: DataFrame): DataFrame = pairs
+          .select(col("a"), col("b"),
+            round(graft.engine.Ann.cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")), 6).as("r_cos"))
+          .filter(col("r_cos") >= 0.44)
+          .orderBy("a", "b")
+        def oldIvfPairs(nprobe: Int): DataFrame = {
+          // reproduce the pre-fetchSide shape via assign + plain join
+          val spreadVecs = spread(vecs)
+          val assigned = graft.engine.Ann.assign(spreadVecs, centroids).toDF("cluster", "a", "va")
+            .withColumn("na", graft.engine.Ann.norm(col("va")))
+          val sorted = array_sort(transform(
+            array(centroids.map { case (c, arr) =>
+              struct(lit(c).as("cluster"), typedLit(arr.toSeq).as("centroid"))
+            }: _*),
+            c => struct(call_function("sq_dist_vec", col("vb"), c.getField("centroid")).as("d"),
+              c.getField("cluster").as("cluster"))))
+          val probeClusters = transform(slice(sorted, 1, nprobe), s => s.getField("cluster"))
+          val probes = spreadVecs.toDF("b", "vb")
+            .withColumn("nb", graft.engine.Ann.norm(col("vb")))
+            .withColumn("cluster", explode(probeClusters))
+          assigned.join(probes, Seq("cluster"))
+            .filter(col("a") < col("b"))
+            .select("a", "va", "na", "b", "vb", "nb")
+        }
+        Seq(
+          "old-planner-join" -> (() => q34tail(oldIvfPairs(8))),
+          "new-fetchSide" -> (() => q34tail(graft.engine.Ann.ivfPairs(vecs, centroids, nprobe = 8))))
+      }
       case "q53" => Seq(
         "old-eager-ckpt" -> (() => { val (n, e) = q53edges; ccStarEager(n, e) }),
         "new-fused-sig" -> (() => { val (n, e) = q53edges; graft.engine.Graph.connectedComponentsStar(n, e) }))

@@ -57,6 +57,26 @@ object Ann {
   private def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     call_function("sq_dist_vec", a, b)
 
+  /** Deliberate join strategy for a SMALL-side fetch/build table whose
+    * partner stream is far larger (guide §3): `broadcast()` when the
+    * side's PLAN-TIME size (the same stats the planner uses — no extra
+    * job) fits `spark.graft.fetchBroadcastBytes` (default 128 MB,
+    * parameterised for deployment), else a SHUFFLE_HASH hint — the same
+    * exchanges a sort-merge join would do, but the per-partition hash
+    * build is on this (small) side and the wide stream is NEVER sorted.
+    * Without this, the planner silently falls off the 10 MB broadcast
+    * threshold into sort-merge, sorting the big stream at full row width
+    * (the r7 q57-at-sf1 cliff: 414 s → 13.5 s), and — where the join key
+    * has few distinct values, like ivfPairs' k clusters — collapsing
+    * parallelism to the key cardinality. Strategy choice cannot change
+    * results (AnnSpec pins the forced over-bound branch pair-identical). */
+  private def fetchSide(df: DataFrame): DataFrame = {
+    val bound = BigInt(df.sparkSession.conf.get("spark.graft.fetchBroadcastBytes",
+      (128L << 20).toString).toLong)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= bound) broadcast(df)
+    else df.hint("shuffle_hash")
+  }
+
   /** Register the vector kernels in this session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     graft.functions.VecFns.register(spark)
@@ -174,7 +194,13 @@ object Ann {
     val probes = spreadVecs.toDF("b", "vb")
       .withColumn("nb", norm(col("vb")))
       .withColumn("cluster", explode(probeClusters))
-    idx.join(probes, Seq("cluster"))
+    // r7: deliberate strategy on the idx side (see fetchSide). The
+    // cluster key has only k distinct values, so past the broadcast
+    // threshold the default sort-merge join BOTH sorts the nprobe-fanned
+    // probe side at vector width AND collapses parallelism to <= k
+    // partitions; broadcast (or, past the bound, shuffled-hash) keeps
+    // the probe side's full-width partitioning un-sorted.
+    fetchSide(idx).join(probes, Seq("cluster"))
       .filter(col("a") < col("b"))
       .select("a", "va", "na", "b", "vb", "nb")
   }
@@ -385,15 +411,7 @@ object Ann {
     //     on the SMALL side and the wide candidate stream is never
     //     sorted. (At 10^9+ vectors the per-partition build is
     //     |V|/partitions rows — the standard shuffled-hash regime.)
-    // Size check is plan-time stats (what the planner itself uses) — no
-    // extra job; the strategy choice cannot change results, only the
-    // physical join.
-    val spark = vectors.sparkSession
-    val fetchBound = BigInt(spark.conf.get("spark.graft.fetchBroadcastBytes",
-      (128L << 20).toString).toLong)
-    def fetchSide(df: DataFrame): DataFrame =
-      if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= fetchBound) broadcast(df)
-      else df.hint("shuffle_hash")
+    // See the shared [[fetchSide]] helper (also used by ivfPairs).
     cand.select("a", "b")
       .join(fetchSide(vectors.select(col("vec_id").as("a"), col("vec").as("va"),
         norm(col("vec")).as("__na"))), Seq("a"))
