@@ -70,7 +70,7 @@ object Ann {
     * has few distinct values, like ivfPairs' k clusters — collapsing
     * parallelism to the key cardinality. Strategy choice cannot change
     * results (AnnSpec pins the forced over-bound branch pair-identical). */
-  private def fetchSide(df: DataFrame): DataFrame = {
+  private[engine] def fetchSide(df: DataFrame): DataFrame = {
     val bound = BigInt(df.sparkSession.conf.get("spark.graft.fetchBroadcastBytes",
       (128L << 20).toString).toLong)
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= bound) broadcast(df)

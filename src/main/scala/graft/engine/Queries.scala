@@ -536,8 +536,10 @@ object Queries {
       // (doc,h)-distinct intersection count. Only the sig self-join
       // exchanges anything corpus-sized: one row per doc, five longs.
       // At deploy scale, if the candidate sets outgrow a broadcast the
-      // fallback is a shuffle join of the same per-doc set arrays on
-      // candidate ids — still only suspects' shingles move.
+      // fallback (implemented: Ann.fetchSide, r7) is a SHUFFLED-HASH
+      // join of the same per-doc set arrays on candidate ids — still
+      // only suspects' shingles move, and the candidate stream is never
+      // sort-merge-sorted at set-array width.
       val sig = minhashSig(s, dir, 8)
       val keys = Seq("mh0", "mh1", "mh2", "mh3")
       val cand = sig.toDF("doc_a" +: keys: _*)
@@ -558,8 +560,8 @@ object Queries {
           array_distinct(call_function("shingle_hashes_8", col("text"))).as("set"))
         .select(col("doc_id"), col("set"), size(col("set")).cast("long").as("sz"))
       cand
-        .join(broadcast(sets.toDF("doc_a", "set_a", "sz_a")), Seq("doc_a"))
-        .join(broadcast(sets.toDF("doc_b", "set_b", "sz_b")), Seq("doc_b"))
+        .join(Ann.fetchSide(sets.toDF("doc_a", "set_a", "sz_a")), Seq("doc_a"))
+        .join(Ann.fetchSide(sets.toDF("doc_b", "set_b", "sz_b")), Seq("doc_b"))
         .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
         .select(col("doc_a"), col("doc_b"),
           round(col("n_inter").cast("double") /
@@ -764,8 +766,8 @@ object Queries {
       // n_inter/n_union lands on exact half-way decimals (e.g. 41/640 =
       // 0.0640625) where Spark's HALF_UP and DuckDB's rounding disagree
       cand
-        .join(broadcast(sets.toDF("doc_a", "set_a", "sz_a")), Seq("doc_a"))
-        .join(broadcast(sets.toDF("doc_b", "set_b", "sz_b")), Seq("doc_b"))
+        .join(Ann.fetchSide(sets.toDF("doc_a", "set_a", "sz_a")), Seq("doc_a"))
+        .join(Ann.fetchSide(sets.toDF("doc_b", "set_b", "sz_b")), Seq("doc_b"))
         .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
         .select(col("doc_a"), col("doc_b"), col("n_inter"),
           (col("sz_a") + col("sz_b") - col("n_inter")).as("n_union"))
