@@ -791,6 +791,13 @@ object Crs {
           need("lat1"), need("lat2"), need("fe"), need("fn"))
         case "ps" => kv.get("k0") match {
           case Some(k0) => // variant A: scale at the pole; lat0 = +-90 carries the aspect
+            // the variant-A math (EPSG 9810) is only valid for a natural
+            // origin AT the pole — a non-polar lat0 would silently compute
+            // scale-at-pole coordinates using only lat0's sign (the same
+            // guard the GeoKey path applies via its pole test)
+            require(math.abs(math.abs(need("lat0")) - 90.0) < 1e-9,
+              s"CRS spec '$s': 'ps' with k0 is polar variant A (EPSG 9810) and needs " +
+                "lat0 = +-90; non-polar scale-at-origin files are not this projection")
             new PolarStereographic(ell, need("lat0"), need("lon0"),
               need("fe"), need("fn"), Some(k0))
           case None => new PolarStereographic(ell, need("latts"), need("lon0"),

@@ -206,8 +206,11 @@ object Wav {
       // a negative (unsigned >2^31) or over-long chunk length would stall
       // the walk (pos += 8 + len advancing by <= 0) or read out of
       // bounds — refuse loudly; this decode runs inside executor tasks,
-      // where an infinite loop is a hung job, not an exception
-      require(len >= 0 && pos + 8 + len <= bytes.length,
+      // where an infinite loop is a hung job, not an exception. The bound
+      // is written overflow-free (len near Int.MaxValue makes pos+8+len
+      // wrap negative and sneak past a naive <=): the loop guarantees
+      // pos + 8 <= bytes.length, so the subtraction cannot underflow.
+      require(len >= 0 && len <= bytes.length - pos - 8,
         s"corrupt WAV: chunk '$id' length $len at offset $pos exceeds ${bytes.length}-byte payload")
       id match {
         case "fmt " =>

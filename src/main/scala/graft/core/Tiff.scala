@@ -293,11 +293,22 @@ object Tiff {
       val bps = bits / 8
       val expectedBytes = segRows * segW * bps
       val off = offInt(segOffsets(s), s"segment-$s data offset")
+      // refuse a truncated segment loudly: copyOfRange silently ZERO-PADS
+      // past the end of the array (silent zero elevations on a corrupt or
+      // hostile file), and the codec paths would read out of bounds with
+      // an untyped error; the bound is Long arithmetic so off + count
+      // cannot overflow Int
+      def bounded(count: Int): Int = {
+        require(count >= 0 && off.toLong + count <= bytes.length,
+          s"corrupt TIFF: segment $s data [$off, ${off.toLong + count}) " +
+            s"exceeds the ${bytes.length}-byte file")
+        count
+      }
       val data = compression match {
-        case 1 => java.util.Arrays.copyOfRange(bytes, off, off + expectedBytes)
-        case 5 => lzw(off, offInt(segCounts(s), s"segment-$s byte count"), expectedBytes)
-        case 32773 => unpackBits(off, offInt(segCounts(s), s"segment-$s byte count"), expectedBytes)
-        case _ => inflate(off, offInt(segCounts(s), s"segment-$s byte count"), expectedBytes)
+        case 1 => java.util.Arrays.copyOfRange(bytes, off, off + bounded(expectedBytes))
+        case 5 => lzw(off, bounded(offInt(segCounts(s), s"segment-$s byte count")), expectedBytes)
+        case 32773 => unpackBits(off, bounded(offInt(segCounts(s), s"segment-$s byte count")), expectedBytes)
+        case _ => inflate(off, bounded(offInt(segCounts(s), s"segment-$s byte count")), expectedBytes)
       }
       val out = new Array[Float](segRows * segW)
       if (bits == 16) {

@@ -206,5 +206,14 @@ class CrsPolarSpec extends AnyFunSuite {
     assert(sx == dx && sy == dy, s"spec path ($sx,$sy) vs direct ($dx,$dy)")
     val (lo, la) = Crs.specToWgs84(spec)(sx, sy)
     assert(math.abs(lo - 45.0) < 1e-10 && math.abs(la - 85.0) < 1e-10)
+    // a NON-POLAR lat0 with k0 must refuse: variant A's math is only
+    // valid at the pole; accepting lat0=70 would silently compute
+    // scale-at-pole coordinates from lat0's sign alone (r7 ADVICE —
+    // the same guard the GeoKey path applies via its pole test)
+    val nonPolar = Crs.projSpecString("ps", Seq(
+      "a" -> 6378137.0, "invf" -> 298.257223563, "k0" -> 0.994,
+      "lat0" -> 70.0, "lon0" -> 0.0, "fe" -> 0.0, "fn" -> 0.0))
+    val eNp = intercept[IllegalArgumentException](Crs.specFromWgs84(nonPolar))
+    assert(eNp.getMessage.contains("variant A"), eNp.getMessage)
   }
 }

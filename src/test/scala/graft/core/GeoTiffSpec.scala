@@ -809,6 +809,16 @@ class GeoTiffSpec extends AnyFunSuite {
       .putLong(8, 1L << 33)
     val eBig = intercept[IllegalArgumentException](Tiff.decode(patched))
     assert(eBig.getMessage.contains("outside the file"), eBig.getMessage)
+    // a TRUNCATED final segment (offset valid, data cut short) must refuse
+    // loudly: Arrays.copyOfRange silently ZERO-PADS past the array end —
+    // silent zero elevations on a corrupt/hostile file (r7 ADVICE).
+    // buildTiff lays segment payloads last, so clipping the tail hits
+    // pixel data with the IFD/heaps intact.
+    val whole = buildTiff(rows, cols, vals, 1, 1, tiled = false)
+    Tiff.decode(whole) // sanity: the intact twin decodes
+    val clipped = java.util.Arrays.copyOfRange(whole, 0, whole.length - 8)
+    val eTrunc = intercept[IllegalArgumentException](Tiff.decode(clipped))
+    assert(eTrunc.getMessage.contains("corrupt TIFF"), eTrunc.getMessage)
   }
 
   test("BigTIFF polar-stereographic fixture traces contours identically to its classic twin") {

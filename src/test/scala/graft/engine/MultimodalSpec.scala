@@ -56,6 +56,15 @@ class MultimodalSpec extends AnyFunSuite {
       .putInt(16, 1 << 20)
     assert(intercept[IllegalArgumentException](Wav.decode(evil2))
       .getMessage.contains("corrupt WAV"))
+    // Int-overflow bypass: len near Int.MaxValue makes pos + 8 + len wrap
+    // NEGATIVE past a naive bound check, flowing into a ~2 GiB allocation
+    // (executor OOM) instead of the typed refusal — the bound must be
+    // overflow-free (r7 ADVICE)
+    val evil3 = Wav.encode(a).clone()
+    java.nio.ByteBuffer.wrap(evil3).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue - 4) // the data chunk's length field
+    assert(intercept[IllegalArgumentException](Wav.decode(evil3))
+      .getMessage.contains("corrupt WAV"))
   }
 
   // ------------------------------------------- generated table ---

@@ -47,10 +47,17 @@ def one(seed, sf, keep):
         return tag, "VERIFY-FAIL", time.time() - t0, []
     r = run([sys.executable, f"{HERE}/gatecheck.py", data, out],
             capture_output=True, text=True)
-    lines = [l for l in r.stdout.splitlines() if l.strip()]
     # the driver gates on rows+schema+hash; gatecheck's extra [type-diff]
     # note (DuckDB widens int32 to int64) is informational, so judge by
-    # the per-gate OK/FAIL lines, not gatecheck's strict exit code
+    # the per-gate OK/FAIL lines, not gatecheck's strict exit code.
+    # Classify ONLY recognized per-gate lines (qNN_name: ...): headers,
+    # blank lines or free-form notes must not flip a passing seed to FAIL.
+    import re
+    gate_re = re.compile(r"^q\d+\w*:")
+    lines = [l for l in r.stdout.splitlines() if gate_re.match(l.strip())]
+    for info in (l for l in r.stdout.splitlines()
+                 if l.strip() and not gate_re.match(l.strip())):
+        print(f"  [gatecheck] {info}")
     bad = [l for l in lines if ": OK" not in l]
     ok = len(lines) - len(bad)
     status = "OK" if not bad else "FAIL"
